@@ -1,79 +1,110 @@
-"""Device (JAX) BN254 field arithmetic over limb tensors.
+"""Device (JAX) BN254 field arithmetic over limb tensors — TPU-native design.
 
 A field array of logical shape `s` is a uint32 tensor of shape
 ``(NUM_LIMBS,) + s`` holding 16-bit little-endian limbs in Montgomery form
-(R = 2^256).  The limb axis is FIRST so that the logical batch dimensions map
-onto TPU sublanes/lanes — every limb op is then a full-width VPU vector op.
+(R = 2^256).  The limb axis is FIRST so the logical batch dimensions map onto
+TPU sublanes/lanes.
 
-All kernels are static-shape, jit-friendly, and written as short unrolled
-Python loops over the 16 limbs (XLA fuses the resulting elementwise chains).
-Montgomery multiplication uses carry-save (redundant uint32) accumulation:
-16x16-bit limb products are split into lo/hi halves and accumulated without
-intermediate carry propagation — bounds stay < 2^23 << 2^32 — followed by a
-single carry-propagation pass and one conditional subtraction.
+Key kernel choices (vs the reference's arkworks 4x64 Montgomery CPU loops,
+jolt-core/src/field/ark.rs):
 
-This replaces the reference's arkworks 4x64-bit Montgomery arithmetic
-(jolt-core/src/field/ark.rs:1-58); semantics (and therefore every proof byte
-derived from them) are identical, only the layout is TPU-native.
+* Schoolbook limb products are ONE outer product + ONE dense matmul against a
+  constant 0/1 "anti-diagonal collector" matrix.  16-bit lo/hi product halves
+  keep every column sum < 2^21 < 2^24, so f32 accumulation is exact and the
+  matmul rides the MXU on TPU (with HIGHEST precision to forbid bf16 passes).
+* Montgomery reduction is single-shot (SOS): m = (T mod R) * N' mod R with
+  N' = -p^{-1} mod R, then (T + m*p) / R — three matmul-schoolbooks total,
+  no 16-round scalar recurrence.
+* Carry/borrow propagation runs as lax.scan over the limb axis: compiles to
+  one XLA loop op instead of an unrolled chain (compile time O(1)).
+
+Everything is static-shape, jit-friendly, and batched.
 """
 from __future__ import annotations
 
-from typing import Sequence
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spec import (FieldSpec, LIMB_BITS, LIMB_MASK, NUM_LIMBS, fr_spec,
-                   int_to_limbs, limbs_to_int)
+from .spec import (FieldSpec, LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs,
+                   limbs_to_int)
 
 W = LIMB_BITS
 L = NUM_LIMBS
 MASK = jnp.uint32(LIMB_MASK)
 U32 = jnp.uint32
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _plimbs(spec: FieldSpec, ndim: int) -> jnp.ndarray:
-    """Modulus limbs shaped [L, 1, 1, ...] for broadcasting."""
-    return jnp.asarray(spec.p_limbs, dtype=U32).reshape((L,) + (1,) * ndim)
+def _const_limbs(limbs: np.ndarray, ndim: int) -> jnp.ndarray:
+    """Constant limb vector shaped [len, 1, 1, ...] for broadcasting."""
+    return jnp.asarray(limbs, dtype=U32).reshape((len(limbs),) + (1,) * ndim)
 
 
-# ---------------------------------------------------------------------------
-# carry / borrow primitives
-# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _collector_matrix(nl: int) -> np.ndarray:
+    """f32 0/1 matrix C[(i*nl+j)*2+part, k] = 1 iff i+j+part == k.
 
-def _carry_full(t: jnp.ndarray) -> jnp.ndarray:
-    """Propagate carries over the (leading) limb axis; returns 16-bit limbs.
-
-    Input limbs may hold redundant values up to 2^32; the represented integer
-    must fit in t.shape[0] limbs (the final carry must be zero).
+    Collapses the lo/hi halves of all limb products into the 2*nl+1 result
+    columns with a single dense matmul.
     """
-    n = t.shape[0]
-    out = []
-    c = jnp.zeros(t.shape[1:], dtype=U32)
-    for k in range(n):
-        v = t[k] + c
-        out.append(v & MASK)
-        c = v >> W
-    return jnp.stack(out)
+    ncols = 2 * nl + 1
+    mat = np.zeros((nl * nl * 2, ncols), dtype=np.float32)
+    for i in range(nl):
+        for j in range(nl):
+            mat[(i * nl + j) * 2 + 0, i + j] = 1.0
+            mat[(i * nl + j) * 2 + 1, i + j + 1] = 1.0
+    return mat
+
+
+def _mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Column sums of the double-width product, carry-save uint32 < 2^21.
+
+    a: [nl, ...], b: [nl, ...] 16-bit limbs -> [2*nl+1, ...].
+    """
+    nl = a.shape[0]
+    batch = a.shape[1:]
+    prod = a[:, None] * b[None, :]                     # [nl, nl, ...] u32
+    lohi = jnp.stack([prod & MASK, prod >> W], axis=2)  # [nl, nl, 2, ...]
+    flat = lohi.reshape((nl * nl * 2, -1)).astype(jnp.float32)
+    mat = jnp.asarray(_collector_matrix(nl))            # [nl*nl*2, 2nl+1]
+    cols = jax.lax.dot_general(mat, flat, (((0,), (0,)), ((), ())),
+                               precision=_HIGHEST)      # [2nl+1, prod(batch)]
+    return cols.astype(U32).reshape((2 * nl + 1,) + batch)
+
+
+def _carry(t: jnp.ndarray) -> jnp.ndarray:
+    """Propagate carries along the leading limb axis (redundant -> 16-bit).
+
+    The represented integer must fit in t.shape[0] limbs.
+    """
+    def step(c, v):
+        s = v + c
+        return s >> W, s & MASK
+
+    _, out = jax.lax.scan(step, jnp.zeros(t.shape[1:], dtype=U32), t)
+    return out
 
 
 def _sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b limbwise; returns (diff 16-bit limbs, final borrow 0/1)."""
-    n = a.shape[0]
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=U32)
+    """a - b limbwise; returns (16-bit diff limbs, final borrow 0/1)."""
     one = jnp.uint32(1 << W)
-    for k in range(n):
-        v = a[k] + one - b[k] - borrow
-        out.append(v & MASK)
-        borrow = jnp.uint32(1) - (v >> W)
-    return jnp.stack(out), borrow
+
+    def step(borrow, ab):
+        ai, bi = ab
+        v = ai + one - bi - borrow
+        return jnp.uint32(1) - (v >> W), v & MASK
+
+    borrow, out = jax.lax.scan(step, jnp.zeros(a.shape[1:], dtype=U32), (a, b))
+    return out, borrow
 
 
 def _cond_sub_p(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     """x - p if x >= p else x, for x < 2p with 16-bit limbs."""
-    d, borrow = _sub_borrow(x, _plimbs(spec, x.ndim - 1))
+    p = jnp.broadcast_to(_const_limbs(spec.p_limbs, x.ndim - 1), x.shape)
+    d, borrow = _sub_borrow(x, p)
     return jnp.where((borrow == 0)[None], d, x)
 
 
@@ -82,56 +113,45 @@ def _cond_sub_p(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def fadd(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return _cond_sub_p(spec, _carry_full(a + b))
+    return _cond_sub_p(spec, _carry(a + b))
 
 
 def fsub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d, borrow = _sub_borrow(a, b)
-    dp = _carry_full(d + _plimbs(spec, a.ndim - 1))
+    p = jnp.broadcast_to(_const_limbs(spec.p_limbs, a.ndim - 1), a.shape)
+    dp = _carry(d + p)
     return jnp.where((borrow == 1)[None], dp, d)
 
 
 def fneg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    zero = jnp.zeros_like(a)
-    return fsub(spec, zero, a)
+    return fsub(spec, jnp.zeros_like(a), a)
 
 
 # ---------------------------------------------------------------------------
-# Montgomery multiplication (the hot kernel)
+# Montgomery multiplication
 # ---------------------------------------------------------------------------
 
-def _schoolbook(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full 512-bit product in carry-save form: uint32[2L+1, ...], < 2^21."""
-    batch = a.shape[1:]
-    acc = jnp.zeros((2 * L + 1,) + batch, dtype=U32)
-    for i in range(L):
-        prod = a[i][None] * b  # [L, ...] — 16x16-bit products, full 32 bits
-        acc = acc.at[i:i + L].add(prod & MASK)
-        acc = acc.at[i + 1:i + L + 1].add(prod >> W)
-    return acc
+def _mont_redc(spec: FieldSpec, t16: jnp.ndarray) -> jnp.ndarray:
+    """Single-shot Montgomery reduction of canonical-limb T (< p*R).
 
-
-def _mont_reduce(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery reduction of a carry-save 512-bit value t (< p*R).
-
-    Returns canonical 16-bit limbs of t * R^{-1} mod p.
+    t16: [2L+1, ...] 16-bit limbs.  Returns (T * R^{-1} mod p) canonical limbs.
     """
-    pl = _plimbs(spec, t.ndim - 1)
-    n0inv = jnp.uint32(spec.n0inv)
-    for i in range(L):
-        m = (t[i] * n0inv) & MASK
-        prod = m[None] * pl
-        t = t.at[i:i + L].add(prod & MASK)
-        t = t.at[i + 1:i + L + 1].add(prod >> W)
-        # retire position i: its low 16 bits are now 0 mod 2^16
-        t = t.at[i + 1].add(t[i] >> W)
-    hi = _carry_full(t[L:])  # [L+1, ...]; top limb is 0 since value < 2p
-    return _cond_sub_p(spec, hi[:L])
+    batch = t16.shape[1:]
+    t_lo = t16[:L]
+    nprime = jnp.broadcast_to(_const_limbs(spec.nprime_limbs, len(batch)),
+                              (L,) + batch)
+    m = _carry(_mul_columns(t_lo, nprime)[:L])          # (T mod R)*N' mod R
+    p = jnp.broadcast_to(_const_limbs(spec.p_limbs, len(batch)), (L,) + batch)
+    u = _mul_columns(m, p)                               # [2L+1, ...] < 2^21
+    s = _carry(u + t16)                                  # exact: (T + m*p)
+    hi = s[L:2 * L]                                      # / R ; top limb is 0
+    return _cond_sub_p(spec, hi)
 
 
 def fmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product: (a * b * R^{-1}) mod p, both operands Montgomery."""
-    return _mont_reduce(spec, _schoolbook(a, b))
+    t = _carry(_mul_columns(a, b))
+    return _mont_redc(spec, t)
 
 
 def fsquare(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -139,16 +159,15 @@ def fsquare(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_mont_device(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery -> canonical residue, on device (mont-mul by 1)."""
-    t = jnp.zeros((2 * L + 1,) + a.shape[1:], dtype=U32)
-    t = t.at[:L].set(a)
-    return _mont_reduce(spec, t)
+    """Montgomery -> canonical residue, on device (REDC of a itself)."""
+    pad = jnp.zeros((L + 1,) + a.shape[1:], dtype=U32)
+    return _mont_redc(spec, jnp.concatenate([a, pad], axis=0))
 
 
 def to_mont_device(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Canonical residue limbs -> Montgomery form, on device (mul by R^2)."""
-    r2 = jnp.asarray(spec.r2_limbs, dtype=U32).reshape((L,) + (1,) * (a.ndim - 1))
-    return fmul(spec, a, jnp.broadcast_to(r2, a.shape))
+    r2 = jnp.broadcast_to(_const_limbs(spec.r2_limbs, a.ndim - 1), a.shape)
+    return fmul(spec, a, r2)
 
 
 def fselect(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +177,7 @@ def fselect(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def fsum(spec: FieldSpec, a: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Modular sum along a logical axis via log-depth halving (fadd tree)."""
-    ax = axis + 1 if axis >= 0 else axis  # account for limb axis
+    ax = axis + 1 if axis >= 0 else axis + a.ndim  # account for limb axis
     n = a.shape[ax]
     while n > 1:
         half = n // 2
@@ -167,8 +186,9 @@ def fsum(spec: FieldSpec, a: jnp.ndarray, axis: int) -> jnp.ndarray:
         s = fadd(spec, lo, hi)
         if n % 2:
             tail = jax.lax.slice_in_dim(a, 2 * half, n, axis=ax)
-            s = jnp.concatenate([fadd(spec, jax.lax.slice_in_dim(s, 0, 1, axis=ax), tail),
-                                 jax.lax.slice_in_dim(s, 1, half, axis=ax)], axis=ax)
+            head = fadd(spec, jax.lax.slice_in_dim(s, 0, 1, axis=ax), tail)
+            s = jnp.concatenate([head, jax.lax.slice_in_dim(s, 1, half, axis=ax)],
+                                axis=ax)
         a = s
         n = a.shape[ax]
     return jnp.squeeze(a, axis=ax)

@@ -48,9 +48,12 @@ class FieldSpec:
         self.r = (1 << R_BITS) % modulus          # R mod p (Montgomery 1)
         self.r2 = (self.r * self.r) % modulus     # for to-Montgomery conversion
         self.r_inv = pow(1 << R_BITS, -1, modulus)
+        # -p^{-1} mod 2^256 (single-shot Montgomery reduction factor)
+        self.nprime = (-pow(modulus, -1, 1 << R_BITS)) % (1 << R_BITS)
         self.p_limbs = int_to_limbs(modulus)
         self.r_limbs = int_to_limbs(self.r)
         self.r2_limbs = int_to_limbs(self.r2)
+        self.nprime_limbs = int_to_limbs(self.nprime)
 
     # -- host-side scalar helpers ------------------------------------------
     def to_mont(self, x: int) -> int:

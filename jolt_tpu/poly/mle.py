@@ -1,0 +1,123 @@
+"""Multilinear extensions (MLEs) as device limb tensors.
+
+A (batch of) MLE(s) in evaluation form is a uint32 limb tensor
+``[NUM_LIMBS, ..., n]`` with the hypercube on the LAST axis, n = 2^num_vars,
+index bits big-endian (first/bound-first variable = most significant bit) —
+the same convention as the reference's DensePolynomial
+(jolt-core/src/poly/dense_mlpoly.rs:15-363) and EqPolynomial
+(jolt-core/src/poly/eq_poly.rs:25-77).
+
+The reference's four binding variants (bound_poly_var_top / _par /
+_many_ones / _zero_optimized) are semantically one operation; on TPU a single
+dense fused bind kernel covers them all.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FElt, FieldSpec, fr_spec
+from ..field import device as fd
+
+
+def bind_top(spec: FieldSpec, z: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Bind the top (most-significant) variable to scalar r (limb vec [L]).
+
+    z: [L, ..., n] -> [L, ..., n/2]:  out[i] = lo[i] + r * (hi[i] - lo[i])
+    (reference dense_mlpoly.rs:74-139; all variants are this formula).
+    """
+    n = z.shape[-1]
+    lo, hi = z[..., : n // 2], z[..., n // 2:]
+    rb = r.reshape((fd.L,) + (1,) * (z.ndim - 1))
+    return fd.fadd(spec, lo, fd.fmul(spec, jnp.broadcast_to(rb, lo.shape),
+                                     fd.fsub(spec, hi, lo)))
+
+
+def bind_bot(spec: FieldSpec, z: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Bind the bottom (least-significant) variable to r.
+
+    out[i] = z[2i] + r * (z[2i+1] - z[2i])  (dense_mlpoly.rs:206-236).
+    """
+    lo = z[..., 0::2]
+    hi = z[..., 1::2]
+    rb = r.reshape((fd.L,) + (1,) * (z.ndim - 1))
+    return fd.fadd(spec, lo, fd.fmul(spec, jnp.broadcast_to(rb, lo.shape),
+                                     fd.fsub(spec, hi, lo)))
+
+
+def eq_evals_device(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """eq(r, x) table over the 2^ell hypercube, on device.
+
+    r: list of limb vectors [L] (Montgomery).  Index bits big-endian w.r.t.
+    r order (eq_poly.rs:34-49 doubling DP).
+    """
+    table = fd.ones(spec, (1,))
+    for rj in r:
+        rb = jnp.broadcast_to(rj[:, None], table.shape)
+        hi = fd.fmul(spec, table, rb)
+        lo = fd.fsub(spec, table, hi)
+        # interleave: new[2i] = lo[i], new[2i+1] = hi[i]
+        table = jnp.stack([lo, hi], axis=-1).reshape(fd.L, -1)
+    return table
+
+
+def evaluate_device(spec: FieldSpec, z: jnp.ndarray, eq_table: jnp.ndarray) -> jnp.ndarray:
+    """<Z, eq(r, .)> -> limb vector [L] (dense_mlpoly.rs:238-253)."""
+    prods = fd.fmul(spec, z, jnp.broadcast_to(
+        eq_table.reshape((fd.L,) + (1,) * (z.ndim - 2) + (eq_table.shape[-1],)), z.shape))
+    out = prods
+    while out.ndim > 1:
+        out = fd.fsum(spec, out, axis=out.ndim - 2)  # logical last axis
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host-side reference MLE (verifier + tests)
+# ---------------------------------------------------------------------------
+
+def eq_evals_host(r: Sequence[FElt]) -> list[FElt]:
+    spec = r[0].spec if r else fr_spec()
+    table = [FElt(1, spec)]
+    for rj in r:
+        nxt = []
+        for x in table:
+            hi = x * rj
+            nxt.append(x - hi)
+            nxt.append(hi)
+        table = nxt
+    return table
+
+
+def eq_evaluate_host(r: Sequence[FElt], x: Sequence[FElt]) -> FElt:
+    assert len(r) == len(x)
+    spec = r[0].spec if r else fr_spec()
+    out = FElt(1, spec)
+    for a, b in zip(r, x):
+        out = out * (a * b + (FElt(1, spec) - a) * (FElt(1, spec) - b))
+    return out
+
+
+def evaluate_host(z: Sequence[FElt], r: Sequence[FElt]) -> FElt:
+    chis = eq_evals_host(list(r))
+    assert len(chis) == len(z)
+    spec = r[0].spec if r else fr_spec()
+    acc = FElt(0, spec)
+    for zi, ci in zip(z, chis):
+        acc = acc + zi * ci
+    return acc
+
+
+def mle_from_ints(spec: FieldSpec, values, shape=None) -> jnp.ndarray:
+    return fd.ints_to_device(spec, values, shape)
+
+
+def mle_to_felts(spec: FieldSpec, z: jnp.ndarray) -> np.ndarray:
+    ints = fd.device_to_ints(spec, z)
+    out = np.empty(ints.shape, dtype=object)
+    it = np.nditer(ints, flags=["multi_index", "refs_ok"])
+    for v in it:
+        out[it.multi_index] = FElt(int(v.item()), spec)
+    return out

@@ -1,0 +1,130 @@
+"""The sumcheck protocol: batched device prover + host verifier.
+
+Prover semantics mirror the reference's `SumcheckInstanceProof::prove_arbitrary`
+(jolt-core/src/subprotocols/sumcheck.rs:81-177): each round evaluates the
+combined polynomial at t = 0..degree over the half-hypercube (top-variable
+split, extrapolation by repeated addition of hi-lo), interpolates the round
+polynomial, appends its compressed form to the transcript, then binds all
+polynomials to the challenge.
+
+TPU-native shape: every per-round pass is a single jitted dense kernel over
+limb tensors; specialized provers (grand products, Spartan, instruction
+lookups) build on the same round structure with fused combine functions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..field import FElt, FieldSpec, fr_spec
+from ..field import device as fd
+from ..poly.mle import bind_top
+from ..poly.unipoly import CompressedUniPoly, UniPoly
+from ..transcript import Transcript
+
+
+class SumcheckError(Exception):
+    pass
+
+
+@dataclass
+class SumcheckInstanceProof:
+    compressed_polys: list[CompressedUniPoly]
+
+    def verify(self, claim: FElt, num_rounds: int, degree_bound: int,
+               transcript: Transcript) -> tuple[FElt, list[FElt]]:
+        """Host verification (sumcheck.rs:495-552). Returns (final claim, r)."""
+        if len(self.compressed_polys) != num_rounds:
+            raise SumcheckError(
+                f"expected {num_rounds} round polys, got {len(self.compressed_polys)}")
+        e = claim
+        r: list[FElt] = []
+        for poly in self.compressed_polys:
+            if poly.degree() != degree_bound:
+                raise SumcheckError(
+                    f"round poly degree {poly.degree()} != bound {degree_bound}")
+            poly.append_to_transcript(transcript)
+            r_i = transcript.challenge_scalar()
+            r.append(r_i)
+            e = poly.eval_from_hint(e, r_i)
+        return e, r
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _round_evals(spec: FieldSpec, comb_func, degree: int,
+                 polys: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Evaluations of sum_x comb(polys(t, x)) at t = 0..degree -> [L, degree+1]."""
+    n = polys[0].shape[-1]
+    half = n // 2
+    lows = tuple(p[..., :half] for p in polys)
+    highs = tuple(p[..., half:] for p in polys)
+
+    def total(params):
+        return fd.fsum(spec, comb_func(spec, params), axis=-1)
+
+    evals = [total(lows), total(highs)]
+    cur = highs
+    for _ in range(2, degree + 1):
+        cur = tuple(fd.fadd(spec, c, fd.fsub(spec, h, l))
+                    for c, h, l in zip(cur, highs, lows))
+        evals.append(total(cur))
+    return jnp.stack(evals, axis=1)
+
+
+@partial(jax.jit, static_argnums=0)
+def _bind_all(spec: FieldSpec, polys: tuple[jnp.ndarray, ...],
+              r: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    return tuple(bind_top(spec, p, r) for p in polys)
+
+
+def _device_scalars_to_felts(spec: FieldSpec, arr: jnp.ndarray) -> list[FElt]:
+    ints = fd.device_to_ints(spec, arr)
+    return [FElt(int(v), spec) for v in ints.tolist()]
+
+
+def prove_arbitrary(num_rounds: int,
+                    polys: Sequence[jnp.ndarray],
+                    comb_func: Callable,
+                    degree: int,
+                    transcript: Transcript,
+                    spec: FieldSpec | None = None,
+                    ) -> tuple[SumcheckInstanceProof, list[FElt], list[FElt]]:
+    """Generic sumcheck prover over device MLE limb tensors.
+
+    comb_func(spec, params) -> limb tensor, where params is a tuple of
+    [L, half]-shaped limb tensors (one per polynomial).  Pass a stable
+    (module-level) function so the jitted round kernel caches across calls.
+
+    Returns (proof, challenge point r, final per-poly evaluations).
+    """
+    spec = spec or fr_spec()
+    polys = tuple(polys)
+    r: list[FElt] = []
+    compressed: list[CompressedUniPoly] = []
+    for _ in range(num_rounds):
+        evals_dev = _round_evals(spec, comb_func, degree, polys)
+        evals = _device_scalars_to_felts(spec, evals_dev)
+        round_poly = UniPoly.from_evals(evals)
+        cpoly = round_poly.compress()
+        cpoly.append_to_transcript(transcript)
+        r_j = transcript.challenge_scalar()
+        r.append(r_j)
+        polys = _bind_all(spec, polys, fd.scalar_to_device(spec, r_j.v))
+        compressed.append(cpoly)
+    final_evals = [
+        FElt(int(fd.device_to_ints(spec, p[..., 0])), spec) for p in polys
+    ]
+    return SumcheckInstanceProof(compressed), r, final_evals
+
+
+# -- common combine functions (stable objects for jit caching) ---------------
+
+def comb_product(spec: FieldSpec, params):
+    out = params[0]
+    for p in params[1:]:
+        out = fd.fmul(spec, out, p)
+    return out
