@@ -1,0 +1,260 @@
+"""Batched opening reduction (reference: poly/opening_proof.rs:1-665).
+
+Many openings (polynomial, point, claim) accumulate over the course of a
+proof; one batching sumcheck reduces them to a single PCS opening:
+
+  prover append:   rho-powers RLC of same-point polynomials (device kernel)
+  reduce_and_prove: quadratic sumcheck over sum_i coeff_i * P_i(x) * eq_i(x)
+                    (smaller polynomials enter late, scaled by 2^remaining),
+                    then gamma-powers joint polynomial opened once with the PCS
+  verifier mirror:  homomorphic commitment combination + claim checks
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..field import FElt, FieldSpec, fr_spec
+from ..field import device as fd
+from ..poly.mle import bind_top, eq_evals_device, eq_evaluate_host
+from ..poly.unipoly import CompressedUniPoly, UniPoly
+from ..subprotocols.sumcheck import SumcheckInstanceProof
+from ..transcript import Transcript
+
+
+@partial(jax.jit, static_argnums=0)
+def _rlc(spec: FieldSpec, polys: tuple[jnp.ndarray, ...],
+         coeffs: jnp.ndarray) -> jnp.ndarray:
+    """sum_i coeffs[i] * polys[i]; coeffs [L, B]; same-length polys."""
+    out = None
+    for i, p in enumerate(polys):
+        term = fd.fmul(spec, jnp.broadcast_to(coeffs[:, i][:, None], p.shape), p)
+        out = term if out is None else fd.fadd(spec, out, term)
+    return out
+
+
+def rlc_polys(spec: FieldSpec, polys: Sequence[jnp.ndarray],
+              coeffs: Sequence[FElt], pad_to: int | None = None) -> jnp.ndarray:
+    """Host wrapper: RLC of device polys (zero-padding shorter ones at the tail)."""
+    n = pad_to or max(p.shape[-1] for p in polys)
+    padded = []
+    for p in polys:
+        if p.shape[-1] < n:
+            p = jnp.concatenate(
+                [p, jnp.zeros(p.shape[:-1] + (n - p.shape[-1],), dtype=p.dtype)],
+                axis=-1)
+        padded.append(p)
+    coeffs_dev = jnp.stack([fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
+    return _rlc(spec, tuple(padded), coeffs_dev)
+
+
+@partial(jax.jit, static_argnums=0)
+def _quadratic_evals(spec: FieldSpec, poly: jnp.ndarray, eq: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """(eval_0, eval_2) of sum_x P(t,x)*eq(t,x) -> [L, 2]."""
+    n = poly.shape[-1]
+    p_lo, p_hi = poly[..., : n // 2], poly[..., n // 2:]
+    e_lo, e_hi = eq[..., : n // 2], eq[..., n // 2:]
+    ev0 = fd.fsum(spec, fd.fmul(spec, p_lo, e_lo), axis=-1)
+    p2 = fd.fadd(spec, p_hi, fd.fsub(spec, p_hi, p_lo))
+    e2 = fd.fadd(spec, e_hi, fd.fsub(spec, e_hi, e_lo))
+    ev2 = fd.fsum(spec, fd.fmul(spec, p2, e2), axis=-1)
+    return jnp.stack([ev0, ev2], axis=1)
+
+
+@dataclass
+class ProverOpening:
+    polynomial: jnp.ndarray      # [L, n] device RLC polynomial
+    eq_poly: jnp.ndarray         # [L, n] eq(x, opening_point)
+    opening_point: list[FElt]
+    claim: FElt
+    batch: list[jnp.ndarray]     # individual polynomials (test oracle)
+
+
+@dataclass
+class ReducedOpeningProof:
+    sumcheck_proof: SumcheckInstanceProof
+    sumcheck_claims: list[FElt]
+    joint_opening_proof: object
+
+
+class ProverOpeningAccumulator:
+    def __init__(self, spec: FieldSpec | None = None):
+        self.spec = spec or fr_spec()
+        self.openings: list[ProverOpening] = []
+
+    def __len__(self):
+        return len(self.openings)
+
+    def append(self, polynomials: Sequence[jnp.ndarray], eq_poly: jnp.ndarray,
+               opening_point: Sequence[FElt], claims: Sequence[FElt],
+               transcript: Transcript) -> None:
+        """RLC-batch same-point openings with rho powers (opening_proof.rs:142-213)."""
+        assert len(polynomials) == len(claims)
+        spec = self.spec
+        rho_powers = transcript.challenge_scalar_powers(len(polynomials))
+        batched_claim = FElt(0, spec)
+        for rp, c in zip(rho_powers, claims):
+            batched_claim = batched_claim + rp * c
+        batched_poly = rlc_polys(spec, polynomials, rho_powers)
+        self.openings.append(ProverOpening(
+            batched_poly, eq_poly, list(opening_point), batched_claim,
+            list(polynomials)))
+
+    def prove_batch_opening_reduction(self, coeffs: list[FElt],
+                                      transcript: Transcript):
+        spec = self.spec
+        max_num_vars = max(len(o.opening_point) for o in self.openings)
+        zero = FElt(0, spec)
+
+        e = zero
+        for co, o in zip(coeffs, self.openings):
+            scaled = o.claim
+            diff = max_num_vars - len(o.opening_point)
+            if diff:
+                scaled = FElt(1 << diff, spec) * scaled
+            e = e + scaled * co
+
+        r: list[FElt] = []
+        compressed: list[CompressedUniPoly] = []
+        bound: list[jnp.ndarray | None] = [None] * len(self.openings)
+        bound_eq: list[jnp.ndarray] = [o.eq_poly for o in self.openings]
+
+        for rnd in range(max_num_vars):
+            remaining = max_num_vars - rnd
+            ev0 = zero
+            ev2 = zero
+            for i, o in enumerate(self.openings):
+                if remaining <= len(o.opening_point):
+                    poly = bound[i] if bound[i] is not None else o.polynomial
+                    pair = fd.device_to_ints(
+                        spec, _quadratic_evals(spec, poly, bound_eq[i])).tolist()
+                    ev0 = ev0 + coeffs[i] * FElt(int(pair[0]), spec)
+                    ev2 = ev2 + coeffs[i] * FElt(int(pair[1]), spec)
+                else:
+                    rem_vars = remaining - len(o.opening_point) - 1
+                    scaled = FElt(1 << rem_vars, spec) * o.claim * coeffs[i]
+                    ev0 = ev0 + scaled
+                    ev2 = ev2 + scaled
+            round_poly = UniPoly.from_evals([ev0, e - ev0, ev2])
+            cpoly = round_poly.compress()
+            cpoly.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar()
+            r.append(r_j)
+            r_dev = fd.scalar_to_device(spec, r_j.v)
+            for i, o in enumerate(self.openings):
+                if remaining <= len(o.opening_point):
+                    src = bound[i] if bound[i] is not None else o.polynomial
+                    bound[i] = bind_top(spec, src, r_dev)
+                    bound_eq[i] = bind_top(spec, bound_eq[i], r_dev)
+            e = round_poly.evaluate(r_j)
+            compressed.append(cpoly)
+
+        claims = [FElt(int(fd.device_to_ints(spec, b[..., 0])), spec)
+                  for b in bound]
+        return SumcheckInstanceProof(compressed), r, claims
+
+    def reduce_and_prove(self, pcs, transcript: Transcript) -> ReducedOpeningProof:
+        spec = self.spec
+        rho_powers = transcript.challenge_scalar_powers(len(self.openings))
+        sumcheck_proof, r_sumcheck, sumcheck_claims = \
+            self.prove_batch_opening_reduction(rho_powers, transcript)
+        transcript.append_scalars(sumcheck_claims)
+
+        gamma_powers = transcript.challenge_scalar_powers(len(self.openings))
+        max_len = max(o.polynomial.shape[-1] for o in self.openings)
+        joint_poly = rlc_polys(spec, [o.polynomial for o in self.openings],
+                               gamma_powers, pad_to=max_len)
+        joint_opening_proof = pcs.prove(joint_poly, r_sumcheck, transcript)
+        return ReducedOpeningProof(sumcheck_proof, sumcheck_claims,
+                                   joint_opening_proof)
+
+
+@dataclass
+class VerifierOpening:
+    commitment: object
+    opening_point: list[FElt]
+    claim: FElt
+
+
+class VerifierOpeningAccumulator:
+    def __init__(self, pcs, spec: FieldSpec | None = None):
+        self.spec = spec or fr_spec()
+        self.pcs = pcs
+        self.openings: list[VerifierOpening] = []
+        self.prover_openings: list[ProverOpening] | None = None
+
+    def __len__(self):
+        return len(self.openings)
+
+    def compare_to(self, prover_acc: ProverOpeningAccumulator):
+        """Oracle: cross-check appended points/claims against the prover's
+        accumulator (opening_proof.rs:458-470, test-only in the reference)."""
+        self.prover_openings = prover_acc.openings
+
+    def append(self, commitments: Sequence, opening_point: Sequence[FElt],
+               claims: Sequence[FElt], transcript: Transcript) -> None:
+        assert len(commitments) == len(claims)
+        spec = self.spec
+        rho_powers = transcript.challenge_scalar_powers(len(commitments))
+        batched_claim = FElt(0, spec)
+        for rp, c in zip(rho_powers, claims):
+            batched_claim = batched_claim + rp * c
+        joint_commitment = self.pcs.combine_commitments(commitments, rho_powers)
+        if self.prover_openings is not None:
+            po = self.prover_openings[len(self.openings)]
+            assert [x.v for x in po.opening_point] == [x.v for x in opening_point], \
+                "opening point mismatch"
+            assert po.claim == batched_claim, "batched claim mismatch"
+        self.openings.append(VerifierOpening(joint_commitment,
+                                             list(opening_point), batched_claim))
+
+    def verify_batch_opening_reduction(self, coeffs, num_rounds,
+                                       sumcheck_proof, transcript):
+        spec = self.spec
+        combined = FElt(0, spec)
+        for co, o in zip(coeffs, self.openings):
+            scaled = o.claim
+            diff = num_rounds - len(o.opening_point)
+            if diff:
+                scaled = FElt(1 << diff, spec) * scaled
+            combined = combined + scaled * co
+        return sumcheck_proof.verify(combined, num_rounds, 2, transcript)
+
+    def reduce_and_verify(self, pcs, reduced_proof: ReducedOpeningProof,
+                          transcript: Transcript) -> None:
+        spec = self.spec
+        one = FElt(1, spec)
+        num_rounds = max(len(o.opening_point) for o in self.openings)
+        rho_powers = transcript.challenge_scalar_powers(len(self.openings))
+        sumcheck_claim, r_sumcheck = self.verify_batch_opening_reduction(
+            rho_powers, num_rounds, reduced_proof.sumcheck_proof, transcript)
+
+        expected = FElt(0, spec)
+        for o, co, claim in zip(self.openings, rho_powers,
+                                reduced_proof.sumcheck_claims):
+            r_hi = r_sumcheck[num_rounds - len(o.opening_point):]
+            eq_eval = eq_evaluate_host(r_hi, o.opening_point)
+            expected = expected + eq_eval * claim * co
+        assert sumcheck_claim == expected, "batch opening reduction claim mismatch"
+
+        transcript.append_scalars(reduced_proof.sumcheck_claims)
+        gamma_powers = transcript.challenge_scalar_powers(len(self.openings))
+
+        joint_commitment = pcs.combine_commitments(
+            [o.commitment for o in self.openings], gamma_powers)
+        joint_claim = FElt(0, spec)
+        for o, co, claim in zip(self.openings, gamma_powers,
+                                reduced_proof.sumcheck_claims):
+            r_lo = r_sumcheck[: num_rounds - len(o.opening_point)]
+            lagrange = one
+            for rv in r_lo:
+                lagrange = lagrange * (one - rv)
+            joint_claim = joint_claim + co * claim * lagrange
+
+        pcs.verify(reduced_proof.joint_opening_proof, transcript,
+                   r_sumcheck, joint_claim, joint_commitment)
