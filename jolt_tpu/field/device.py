@@ -253,6 +253,11 @@ def device_to_ints(spec: FieldSpec, a: jnp.ndarray) -> np.ndarray:
     return unpack_ints(canonical)
 
 
+def to_int(spec: FieldSpec, a: jnp.ndarray) -> int:
+    """Device Montgomery limb vector [L] -> single canonical host int."""
+    return int(np.asarray(device_to_ints(spec, a)).item())
+
+
 def zeros(spec: FieldSpec, shape) -> jnp.ndarray:
     return jnp.zeros((L,) + tuple(shape), dtype=U32)
 

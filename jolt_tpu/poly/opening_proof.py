@@ -154,7 +154,7 @@ class ProverOpeningAccumulator:
             e = round_poly.evaluate(r_j)
             compressed.append(cpoly)
 
-        claims = [FElt(int(fd.device_to_ints(spec, b[..., 0])), spec)
+        claims = [FElt(fd.to_int(spec, b[..., 0]), spec)
                   for b in bound]
         return SumcheckInstanceProof(compressed), r, claims
 

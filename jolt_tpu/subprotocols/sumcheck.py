@@ -116,7 +116,7 @@ def prove_arbitrary(num_rounds: int,
         polys = _bind_all(spec, polys, fd.scalar_to_device(spec, r_j.v))
         compressed.append(cpoly)
     final_evals = [
-        FElt(int(fd.device_to_ints(spec, p[..., 0])), spec) for p in polys
+        FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys
     ]
     return SumcheckInstanceProof(compressed), r, final_evals
 

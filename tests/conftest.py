@@ -1,9 +1,12 @@
 """Test configuration: force an 8-virtual-device CPU platform.
 
-The environment may pre-register a remote TPU backend (axon tunnel) via
-sitecustomize and pin JAX_PLATFORMS=axon; tests must run on local CPU with 8
-virtual devices for sharding coverage.  jax.config.update works even after
-jax import, as long as no backend has been initialized yet.
+The environment may pre-register a remote TPU backend (axon tunnel) and pin
+JAX_PLATFORMS=axon; tests must run on local CPU with 8 virtual devices for
+sharding coverage.  jax.config.update works even after jax import, as long
+as no backend has been initialized yet.
+
+A persistent compilation cache makes repeated test runs cheap (the limb
+kernels compile once per shape ever, not once per process).
 
 Real-TPU benchmarking happens only through bench.py on the driver side.
 """
@@ -15,3 +18,6 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -73,11 +73,11 @@ def test_bind_and_evaluate_device():
     # bind top variables one at a time
     for rj in r:
         z = mle.bind_top(spec, z, fd.scalar_to_device(spec, rj.v))
-    got = FElt(int(fd.device_to_ints(spec, z[..., 0])), spec)
+    got = FElt(fd.to_int(spec, z[..., 0]), spec)
     want = mle.evaluate_host([fr(x) for x in z_i], r)
     assert got == want
     # evaluate via device eq table
     z2 = mle.mle_from_ints(spec, z_i)
     table = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, x.v) for x in r])
-    got2 = FElt(int(fd.device_to_ints(spec, mle.evaluate_device(spec, z2, table))), spec)
+    got2 = FElt(fd.to_int(spec, mle.evaluate_device(spec, z2, table)), spec)
     assert got2 == want
