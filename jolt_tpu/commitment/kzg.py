@@ -1,0 +1,214 @@
+"""Univariate KZG over BN254 (reference: poly/commitment/kzg.rs).
+
+* SRS generation is DEVICE-side: powers of tau are host scalars, but the
+  G1 points g*tau^i are produced by a fixed-base windowed table gather +
+  log-depth point tree-sum on device (the reference computes them with a
+  CPU fixed-base MSM, kzg.rs:22-84).  SRS points are kept in Jacobian form
+  (the general device point-add needs no affine normalization).
+* commit = device Pippenger MSM over the SRS prefix.
+* open(B, u): the quotient q = (B - B(u)) / (X - u) is computed WITHOUT a
+  sequential synthetic-division scan: q[j] = u^{-(j+1)} * suffix_j+1(b_i u^i),
+  i.e. two power tables + a log-depth suffix sum — dense TPU ops.
+* verify: host pairing check e(C - v*g - u*W, g2) * e(W, beta_g2)^-1 == 1.
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import device as cd
+from ..curve.bn254 import G1Affine, G1Jacobian, G2Affine
+from ..curve.pairing import pairing_product_is_one
+from ..field import FElt, FieldSpec, fr_spec
+from ..field import device as fd
+
+FR = fr_spec()
+
+
+# ---------------------------------------------------------------------------
+# SRS
+# ---------------------------------------------------------------------------
+
+@dataclass
+class KZGProverKey:
+    g1_jac: tuple  # (X, Y, Z) device limb tensors [L, N] — g * tau^i
+    n: int
+
+
+@dataclass
+class KZGVerifierKey:
+    g1: G1Affine
+    g2: G2Affine
+    beta_g2: G2Affine  # g2 * tau
+
+
+def _fixed_base_table(base: G1Affine, c: int = 8, windows: int = 32):
+    """Host table T[w][d] = base * (d << (c*w)); [windows, 2^c] affine."""
+    table = []
+    cur_base = base.to_jacobian()
+    for _ in range(windows):
+        row = [G1Jacobian.identity()]
+        for d in range(1, 1 << c):
+            row.append(row[-1].add(cur_base))
+        table.append([p.to_affine() for p in row])
+        for _ in range(c):
+            cur_base = cur_base.double()
+    return table
+
+
+@partial(jax.jit, static_argnums=())
+def _srs_points(tx, ty, tinf, digits):
+    """Gather fixed-base table entries and tree-sum the 32 windows.
+
+    tx/ty: [L, W, 2^c] table coords; tinf: [W, 2^c]; digits: [W, N].
+    Returns Jacobian (X, Y, Z) of shape [L, N].
+    """
+    W = digits.shape[0]
+    gx = jnp.take_along_axis(tx, digits[None, :, :], axis=2)   # [L, W, N]
+    gy = jnp.take_along_axis(ty, digits[None, :, :], axis=2)
+    ginf = jnp.take_along_axis(tinf, digits, axis=1)           # [W, N]
+    one = fd.ones(cd.FQ, ginf.shape)
+    gz = jnp.where(ginf[None], jnp.zeros_like(one), one)
+    P = (gx, gy, gz)
+    w = W
+    while w > 1:
+        half = w // 2
+        P = cd.jac_add(tuple(t[:, :half] for t in P),
+                       tuple(t[:, half:2 * half] for t in P))
+        w = half
+    return tuple(t[:, 0] for t in P)
+
+
+def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZGVerifierKey]:
+    """Generate a (test/dev) SRS from a deterministic seed.
+
+    Production deployments load a ceremony SRS instead; the reference
+    similarly generates from an RNG in tests (kzg.rs:22-84).
+    """
+    rng = random.Random(seed)
+    tau = rng.randrange(1, FR.p)
+    n = max_degree
+
+    # host: scalar powers of tau (canonical)
+    powers = np.empty(n, dtype=object)
+    acc = 1
+    for i in range(n):
+        powers[i] = acc
+        acc = acc * tau % FR.p
+
+    table = _fixed_base_table(G1Affine.generator())
+    tx = fd.ints_to_device(cd.FQ, [[p.x for p in row] for row in table])
+    ty = fd.ints_to_device(cd.FQ, [[p.y for p in row] for row in table])
+    tinf = jnp.asarray(np.array([[p.is_infinity for p in row] for row in table]))
+
+    limbs = fd.pack_ints(powers)  # canonical [L, N]
+    digits = jnp.stack([
+        jnp.asarray((limbs[w // 2] >> np.uint32(8 * (w % 2))) & np.uint32(0xFF),
+                    dtype=jnp.int32)
+        for w in range(32)])
+    X, Y, Z = _srs_points(tx, ty, tinf, digits)
+
+    g2 = G2Affine.generator()
+    vk = KZGVerifierKey(G1Affine.generator(), g2, g2.mul(tau))
+    return KZGProverKey((X, Y, Z), n), vk
+
+
+# ---------------------------------------------------------------------------
+# commit / open / verify
+# ---------------------------------------------------------------------------
+
+def kzg_commit(pk: KZGProverKey, coeffs_mont: jnp.ndarray) -> G1Affine:
+    """Commit to coefficient vector (device MSM over the SRS prefix)."""
+    n = coeffs_mont.shape[-1]
+    X, Y, Z = pk.g1_jac
+    pts = (X[..., :n], Y[..., :n], Z[..., :n])
+    return _msm_jac(pts, coeffs_mont)
+
+
+def _msm_jac(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
+    """MSM accepting Jacobian device points."""
+    canonical = fd.from_mont_device(FR, scalars_mont)
+    wx, wy, wz = _msm_windows_jac(points_jac, canonical)
+    windows = cd.jacobian_to_host(wx, wy, wz)
+    acc = G1Jacobian.identity()
+    for wpt in reversed(windows):
+        for _ in range(cd.MSM_WINDOW_BITS):
+            acc = acc.double()
+        acc = acc.add(wpt)
+    return acc.to_affine()
+
+
+@partial(jax.jit, static_argnums=())
+def _msm_windows_jac(points_jac, scalar_limbs):
+    px, py, pz = points_jac
+    inf_mask = jnp.all(pz == 0, axis=0)
+    return cd._msm_windows_impl(px, py, pz, inf_mask, scalar_limbs)
+
+
+def msm_jacobian(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
+    return _msm_jac(points_jac, scalars_mont)
+
+
+@partial(jax.jit, static_argnums=0)
+def _powers_device(spec: FieldSpec, u: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[1, u, u^2, ..., u^{n-1}] by log-doubling; u: [L] Montgomery."""
+    table = fd.ones(spec, (1,))
+    cur = u[:, None]
+    while table.shape[-1] < n:
+        k = table.shape[-1]
+        ext = fd.fmul(spec, table, jnp.broadcast_to(cur, table.shape))
+        table = jnp.concatenate([table, ext], axis=-1)
+        cur = fd.fmul(spec, cur, cur)
+    return table[..., :n]
+
+
+@partial(jax.jit, static_argnums=0)
+def _quotient_coeffs(spec: FieldSpec, b: jnp.ndarray, upow: jnp.ndarray,
+                     uinv_pow: jnp.ndarray) -> jnp.ndarray:
+    """q[j] = u^{-(j+1)} * sum_{i >= j+1} b_i u^i, j = 0..n-2."""
+    n = b.shape[-1]
+    terms = fd.fmul(spec, b, upow)                     # b_i u^i
+    # suffix sums via Hillis-Steele
+    s = terms
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [s[..., d:], jnp.zeros_like(s[..., :d])], axis=-1)
+        s = fd.fadd(spec, s, shifted)
+        d *= 2
+    suffix = s[..., 1:]                                 # S[j+1], j = 0..n-2
+    return fd.fmul(spec, suffix, uinv_pow[..., 1:n])    # u^{-(j+1)}
+
+
+def kzg_open_no_rem(pk: KZGProverKey, coeffs_mont: jnp.ndarray,
+                    u: FElt) -> G1Affine:
+    """Commitment to (B(X) - B(u)) / (X - u) (kzg.rs:258-275)."""
+    n = coeffs_mont.shape[-1]
+    u_dev = fd.scalar_to_device(FR, u.v)
+    uinv_dev = fd.scalar_to_device(FR, pow(u.v, -1, FR.p))
+    upow = _powers_device(FR, u_dev, n)
+    uinv_pow = _powers_device(FR, uinv_dev, n)
+    q = _quotient_coeffs(FR, coeffs_mont, upow, uinv_pow)
+    return kzg_commit(pk, q)
+
+
+def kzg_verify(vk: KZGVerifierKey, commitment: G1Affine, u: FElt, v: FElt,
+               w: G1Affine) -> bool:
+    """Pairing check e(C - v*g + u*W, g2) == e(W, beta_g2) (kzg.rs:277-296)."""
+    lhs = (commitment.to_jacobian()
+           .add(vk.g1.to_jacobian().mul((-v.v) % FR.p))
+           .add(w.to_jacobian().mul(u.v))).to_affine()
+    return pairing_product_is_one([(lhs, vk.g2), (w.neg(), vk.beta_g2)])
+
+
+def poly_eval_device(coeffs_mont: jnp.ndarray, u: FElt) -> FElt:
+    """Univariate evaluation sum b_i u^i via a power-table dot product."""
+    n = coeffs_mont.shape[-1]
+    upow = _powers_device(FR, fd.scalar_to_device(FR, u.v), n)
+    return FElt(fd.to_int(FR, fd.fsum(FR, fd.fmul(FR, coeffs_mont, upow),
+                                      axis=-1)), FR)

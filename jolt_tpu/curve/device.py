@@ -1,0 +1,246 @@
+"""Device (JAX) BN254 G1 arithmetic + Pippenger MSM.
+
+Points are Jacobian coordinate triples of Fq limb tensors (infinity ⇔ Z = 0).
+All branch cases (infinity, doubling, inverses) are handled with dense masked
+selects — TPU-friendly, no data-dependent control flow.
+
+MSM (replaces the reference's size-adaptive CPU Pippenger, msm/mod.rs:11-482)
+is a sort-based windowed bucket method designed for a dense vector machine:
+  1. extract c-bit digits for all windows at once -> [W, N]
+  2. per window, sort point indices by digit and gather points
+  3. segmented Hillis-Steele scan (log N dense masked point-add passes)
+     reduces each bucket's run; segment tails are scattered into a dense
+     [W, 2^c] bucket table
+  4. suffix-scan + tree-sum over buckets gives each window's total
+     (sum_d d*B_d = sum_{d>=1} suffix_d)
+  5. the W window totals are combined on host (Horner, ~W*c point ops)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import device as fd
+from ..field.spec import FieldSpec, fq_spec, LIMB_BITS
+from .bn254 import G1Affine, G1Jacobian
+
+FQ = fq_spec()
+
+
+def _sq(x):
+    return fd.fmul(FQ, x, x)
+
+
+def _mul(x, y):
+    return fd.fmul(FQ, x, y)
+
+
+def _add(x, y):
+    return fd.fadd(FQ, x, y)
+
+
+def _sub(x, y):
+    return fd.fsub(FQ, x, y)
+
+
+def _dbl_f(x):
+    return fd.fadd(FQ, x, x)
+
+
+def _iszero(x):
+    return jnp.all(x == 0, axis=0)
+
+
+def jac_double(X, Y, Z):
+    """a=0 Jacobian doubling (dbl-2009-l); infinity-safe (Z3 = 2YZ = 0)."""
+    A = _sq(X)
+    B = _sq(Y)
+    C = _sq(B)
+    xb = _add(X, B)
+    D = _dbl_f(_sub(_sub(_sq(xb), A), C))
+    E = _add(_add(A, A), A)
+    F = _sq(E)
+    X3 = _sub(F, _dbl_f(D))
+    Y3 = _sub(_mul(E, _sub(D, X3)), _dbl_f(_dbl_f(_dbl_f(C))))
+    Z3 = _dbl_f(_mul(Y, Z))
+    return X3, Y3, Z3
+
+
+def jac_add(p1, p2):
+    """Full Jacobian addition with masked special cases."""
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    z1z1 = _sq(Z1)
+    z2z2 = _sq(Z2)
+    u1 = _mul(X1, z2z2)
+    u2 = _mul(X2, z1z1)
+    s1 = _mul(_mul(Y1, Z2), z2z2)
+    s2 = _mul(_mul(Y2, Z1), z1z1)
+    h = _sub(u2, u1)
+    rr = _sub(s2, s1)
+    h2 = _sq(h)
+    h3 = _mul(h, h2)
+    v = _mul(u1, h2)
+    X3 = _sub(_sub(_sq(rr), h3), _dbl_f(v))
+    Y3 = _sub(_mul(rr, _sub(v, X3)), _mul(s1, h3))
+    Z3 = _mul(_mul(Z1, Z2), h)
+
+    dX, dY, dZ = jac_double(X1, Y1, Z1)
+
+    p1_inf = _iszero(Z1)
+    p2_inf = _iszero(Z2)
+    h_zero = _iszero(h) & ~p1_inf & ~p2_inf
+    r_zero = _iszero(rr)
+    is_dbl = h_zero & r_zero
+    is_opp = h_zero & ~r_zero
+
+    X3 = fd.fselect(is_dbl, dX, X3)
+    Y3 = fd.fselect(is_dbl, dY, Y3)
+    Z3 = fd.fselect(is_dbl, dZ, Z3)
+    Z3 = fd.fselect(is_opp, jnp.zeros_like(Z3), Z3)
+    # infinity propagation
+    X3 = fd.fselect(p2_inf, X1, fd.fselect(p1_inf, X2, X3))
+    Y3 = fd.fselect(p2_inf, Y1, fd.fselect(p1_inf, Y2, Y3))
+    Z3 = fd.fselect(p2_inf, Z1, fd.fselect(p1_inf, Z2, Z3))
+    return X3, Y3, Z3
+
+
+# ---------------------------------------------------------------------------
+# host <-> device points
+# ---------------------------------------------------------------------------
+
+def points_to_device(points: list[G1Affine]):
+    """Affine host points -> (x [L,N], y [L,N], inf_mask [N]) Montgomery."""
+    xs = [p.x for p in points]
+    ys = [p.y for p in points]
+    inf = np.array([p.is_infinity for p in points])
+    x = fd.ints_to_device(FQ, xs)
+    y = fd.ints_to_device(FQ, ys)
+    return x, y, jnp.asarray(inf)
+
+
+def jacobian_to_host(X, Y, Z) -> list[G1Jacobian]:
+    xi = fd.device_to_ints(FQ, X).ravel()
+    yi = fd.device_to_ints(FQ, Y).ravel()
+    zi = fd.device_to_ints(FQ, Z).ravel()
+    return [G1Jacobian(int(a), int(b), int(c)) for a, b, c in zip(xi, yi, zi)]
+
+
+# ---------------------------------------------------------------------------
+# MSM
+# ---------------------------------------------------------------------------
+
+MSM_WINDOW_BITS = 8
+
+
+@partial(jax.jit, static_argnums=())
+def _msm_windows(px, py, inf_mask, scalar_limbs):
+    """Affine-input wrapper: all window totals -> Jacobian points [L, W]."""
+    one = fd.ones(FQ, (px.shape[-1],))
+    pz = jnp.where(inf_mask[None], jnp.zeros_like(one), one)
+    return _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs)
+
+
+def _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs):
+    """All window totals of the MSM -> Jacobian points [L, W].
+
+    px/py/pz: [L, N] Fq Montgomery Jacobian coords; inf_mask: [N] bool;
+    scalar_limbs: [L, N] CANONICAL 16-bit Fr limbs.
+    """
+    c = MSM_WINDOW_BITS
+    per_limb = LIMB_BITS // c
+    W = fd.L * per_limb
+    N = px.shape[-1]
+
+    # digits [W, N]
+    digits = jnp.stack([(scalar_limbs[w // per_limb] >> (c * (w % per_limb)))
+                        & jnp.uint32((1 << c) - 1) for w in range(W)])
+
+    order = jnp.argsort(digits, axis=1)                    # [W, N]
+    sd = jnp.take_along_axis(digits, order, axis=1)        # sorted digits
+    gx = px[:, order]                                      # [L, W, N]
+    gy = py[:, order]
+    gz0 = pz[:, order]
+    ginf = inf_mask[order]                                 # [W, N]
+    active = (sd != 0) & ~ginf
+    gz = jnp.where(active[None], gz0, jnp.zeros_like(gz0))
+
+    # segmented inclusive scan by sorted digit (Hillis-Steele)
+    P = (gx, gy, gz)
+    d = 1
+    while d < N:
+        key_shift = jnp.concatenate(
+            [jnp.full((W, d), 1 << c, dtype=sd.dtype), sd[:, :-d]], axis=1)
+        same = key_shift == sd                              # [W, N]
+        shift_pt = tuple(
+            jnp.concatenate([jnp.zeros_like(t[..., :d]), t[..., :-d]], axis=-1)
+            for t in P)
+        # make shifted-in points infinity where segment differs
+        sx, sy, sz = shift_pt
+        sz = fd.fselect(same, sz, jnp.zeros_like(sz))
+        added = jac_add(P, (sx, sy, sz))
+        P = added
+        d *= 2
+
+    # scatter segment tails into dense buckets [L, W, 2^c]
+    idx = jnp.arange(N)
+    is_last = jnp.concatenate(
+        [sd[:, 1:] != sd[:, :-1], jnp.ones((W, 1), dtype=bool)], axis=1)
+    key = jnp.where(is_last, sd, 0).astype(jnp.int32)      # junk -> bucket 0
+    w_ids = jnp.broadcast_to(jnp.arange(W)[:, None], (W, N))
+    buckets = []
+    for t in P:
+        b = jnp.zeros((fd.L, W, 1 << c), dtype=t.dtype)
+        buckets.append(b.at[:, w_ids, key].set(t))
+    bx, by, bz = buckets
+    # ensure non-tail scatters didn't corrupt: bucket 0 is never used below.
+
+    # suffix sums over the bucket axis
+    S = (bx, by, bz)
+    d = 1
+    while d < (1 << c):
+        shift_pt = tuple(
+            jnp.concatenate([t[..., d:], jnp.zeros_like(t[..., :d])], axis=-1)
+            for t in S)
+        S = jac_add(S, shift_pt)
+        d *= 2
+    # S[d] = sum_{e>=d} B_e ; window total = sum_{d>=1} S[d]
+    Sx, Sy, Sz = (t[..., 1:] for t in S)
+    T = (Sx, Sy, Sz)
+    n = (1 << c) - 1
+    while n > 1:
+        half = n // 2
+        lo = tuple(t[..., :half] for t in T)
+        hi = tuple(t[..., half:2 * half] for t in T)
+        s = jac_add(lo, hi)
+        if n % 2:
+            tail = tuple(t[..., 2 * half:] for t in T)
+            first = jac_add(tuple(t[..., :1] for t in s), tail)
+            s = tuple(jnp.concatenate([f, t[..., 1:]], axis=-1)
+                      for f, t in zip(first, s))
+        T = s
+        n = T[0].shape[-1]
+    return tuple(t[..., 0] for t in T)  # [L, W] each
+
+
+def msm(points_dev, scalars_mont: jnp.ndarray,
+        spec_fr: FieldSpec) -> G1Affine:
+    """Full MSM: device windows + host Horner combine.
+
+    points_dev: output of points_to_device; scalars_mont: [L, N] Fr Montgomery.
+    """
+    px, py, inf_mask = points_dev
+    n = scalars_mont.shape[-1]
+    assert px.shape[-1] >= n, "SRS too short"
+    canonical = fd.from_mont_device(spec_fr, scalars_mont)
+    wx, wy, wz = _msm_windows(px[..., :n], py[..., :n], inf_mask[:n], canonical)
+    windows = jacobian_to_host(wx, wy, wz)
+    acc = G1Jacobian.identity()
+    for wpt in reversed(windows):
+        for _ in range(MSM_WINDOW_BITS):
+            acc = acc.double()
+        acc = acc.add(wpt)
+    return acc.to_affine()

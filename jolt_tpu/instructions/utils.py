@@ -32,34 +32,27 @@ def chunk_and_concatenate_operands_vec(x, y, C: int, log_M: int) -> np.ndarray:
 
 
 def add_and_chunk_operands_vec(x, y, C: int, log_M: int) -> np.ndarray:
-    """Chunks of (x + y) as a 128-bit-safe sum (instruction_utils.rs:172+)."""
-    z = _u(x).astype(object) + _u(y).astype(object)  # python ints, no overflow
-    return chunk_sum_vec(z, C, log_M)
+    """Chunks of (x + y); for 32-bit words the sum fits u64 exactly
+    (instruction_utils.rs:172+)."""
+    with np.errstate(over="ignore"):
+        z = _u(x) + _u(y)  # wrap mod 2^64 == reference u128 truncated to C*log_M<=64 bits
+    return chunk_operand_vec(z, C, log_M)
 
 
 def multiply_and_chunk_operands_vec(x, y, C: int, log_M: int) -> np.ndarray:
-    z = _u(x).astype(object) * _u(y).astype(object)
-    return chunk_sum_vec(z, C, log_M)
-
-
-def chunk_sum_vec(z, C: int, log_M: int) -> np.ndarray:
-    """Chunk python-int array (possibly >64-bit) into C log_M-bit chunks."""
-    mask = (1 << log_M) - 1
-    out = np.zeros((C, len(z)), dtype=np.uint64)
-    for i in range(C):
-        shift = (C - i - 1) * log_M
-        for j, v in enumerate(z):
-            out[i, j] = (int(v) >> shift) & mask
-    return out
+    """Chunks of (x * y); 32-bit operand products fit u64 exactly."""
+    with np.errstate(over="ignore"):
+        z = _u(x) * _u(y)
+    return chunk_operand_vec(z, C, log_M)
 
 
 def chunk_and_concatenate_for_shift_vec(x, y, C: int, log_M: int) -> np.ndarray:
-    """Shift instructions: chunk x normally, concatenate with the shift
-    amount (lowest log2(word_size) bits of y) in every chunk
-    (instruction_utils.rs:242+)."""
+    """Shift instructions: x chunked over log_M/2-bit chunks, each
+    concatenated with y's LOWEST log_M/2-bit chunk
+    (instruction_utils.rs chunk_and_concatenate_for_shift)."""
     b = log_M // 2
     cx = chunk_operand_vec(x, C, b)
-    y_low = _u(y) & np.uint64((1 << (b.bit_length() + 2)) - 1)  # placeholder; see shift instrs
+    y_low = _u(y) & np.uint64((1 << b) - 1)
     return (cx << np.uint64(b)) | y_low[None, :]
 
 

@@ -142,61 +142,234 @@ class BatchedDenseGrandProduct:
 
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
+        claims = self.claims()
+        layer_proofs, r_grand_product, _ = _prove_dense_layers(
+            self.spec, self.layers, claims, [], transcript)
+        return BatchedGrandProductProof(layer_proofs), r_grand_product
+
+
+def _prove_dense_layers(spec: FieldSpec, layers: list[jnp.ndarray],
+                        claims: list[FElt], r_grand_product: list[FElt],
+                        transcript: Transcript):
+    """Prove multiplication-gate layers top-down (grand_product.rs:199-251).
+
+    Returns (layer_proofs, r_grand_product, claims) after folding each
+    layer's left/right claims with a fresh challenge.
+    """
+    layer_proofs: list[BatchedGrandProductLayerProof] = []
+    for layer in reversed(layers):
+        coeffs = transcript.challenge_vector(len(claims))
+        joint_claim = FElt(0, spec)
+        for c, co in zip(claims, coeffs):
+            joint_claim = joint_claim + c * co
+        coeffs_dev = jnp.stack(
+            [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
+
+        eq = eq_evals_device(
+            spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
+        num_rounds = len(r_grand_product)
+
+        previous_claim = joint_claim
+        r_sumcheck: list[FElt] = []
+        compressed: list[CompressedUniPoly] = []
+        bound = layer
+        for _ in range(num_rounds):
+            e023 = _gp_cubic_evals(spec, bound, eq, coeffs_dev)
+            ints = fd.device_to_ints(spec, e023).tolist()
+            e0, e2, e3 = (FElt(int(v), spec) for v in ints)
+            round_poly = UniPoly.from_evals([e0, previous_claim - e0, e2, e3])
+            cpoly = round_poly.compress()
+            cpoly.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar()
+            r_sumcheck.append(r_j)
+            bound, eq = _gp_bind(spec, bound, eq,
+                                 fd.scalar_to_device(spec, r_j.v))
+            previous_claim = round_poly.evaluate(r_j)
+            compressed.append(cpoly)
+
+        finals = fd.device_to_ints(spec, bound)
+        left_claims = [FElt(int(v), spec) for v in finals[:, 0].tolist()]
+        right_claims = [FElt(int(v), spec) for v in finals[:, 1].tolist()]
+
+        for lc, rc in zip(left_claims, right_claims):
+            transcript.append_scalar(lc)
+            transcript.append_scalar(rc)
+
+        r_grand_product = list(reversed(r_sumcheck))
+        r_layer = transcript.challenge_scalar()
+        claims = [lc + r_layer * (rc - lc)
+                  for lc, rc in zip(left_claims, right_claims)]
+        r_grand_product.append(r_layer)
+
+        layer_proofs.append(BatchedGrandProductLayerProof(
+            SumcheckInstanceProof(compressed), left_claims, right_claims))
+    return layer_proofs, r_grand_product, claims
+
+
+# ---------------------------------------------------------------------------
+# toggled grand product (Lasso read/write multisets, grand_product.rs:1049-1546)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=0)
+def _toggle_values(spec: FieldSpec, flags: jnp.ndarray, fingerprints: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Toggle-gate outputs: flag * fp + 1 - flag; flags [L,m,T] broadcast to
+    the read/write pairs of fingerprints [L,2m,T]."""
+    f2 = jnp.repeat(flags, 2, axis=1)
+    one = fd.ones(spec, f2.shape[1:])
+    return fd.fadd(spec, fd.fmul(spec, f2, fingerprints), fd.fsub(spec, one, f2))
+
+
+@partial(jax.jit, static_argnums=0)
+def _toggle_cubic_evals(spec: FieldSpec, flags: jnp.ndarray,
+                        fingerprints: jnp.ndarray, eq: jnp.ndarray,
+                        coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Toggle-layer round evals at t = 0, 2, 3 (grand_product.rs:1216-1360).
+
+    sum_b coeff_b * sum_i eq_t(i) * (flag_t(b,i) * fp_t(b,i) + 1 - flag_t(b,i));
+    pairs (2i, 2i+1) on the last axis; flags are per-memory (b//2).
+    """
+    f2 = jnp.repeat(flags, 2, axis=1)              # [L, 2m, n]
+    one = fd.ones(spec, (f2.shape[1], f2.shape[2] // 2))
+
+    def pair(t):
+        return t[..., 0::2], t[..., 1::2]
+
+    f0, f1 = pair(f2)
+    p0, p1 = pair(fingerprints)
+    e0, e1 = pair(eq)
+    m_f = fd.fsub(spec, f1, f0)
+    m_p = fd.fsub(spec, p1, p0)
+    m_e = fd.fsub(spec, e1, e0)
+    out = []
+    ft, pt, et = f0, p0, e0
+    for t in (0, 2, 3):
+        if t == 2:
+            ft = fd.fadd(spec, f1, m_f)
+            pt = fd.fadd(spec, p1, m_p)
+            et = fd.fadd(spec, e1, m_e)
+        elif t == 3:
+            ft = fd.fadd(spec, ft, m_f)
+            pt = fd.fadd(spec, pt, m_p)
+            et = fd.fadd(spec, et, m_e)
+        gate = fd.fadd(spec, fd.fmul(spec, ft, pt), fd.fsub(spec, one, ft))
+        weighted = fd.fmul(spec, _bcast_coeffs(coeffs, gate), gate)
+        per_i = fd.fsum(spec, weighted, axis=0)            # [L, n/2]
+        out.append(fd.fsum(spec, fd.fmul(spec, et, per_i), axis=-1))
+    return jnp.stack(out, axis=1)
+
+
+@partial(jax.jit, static_argnums=0)
+def _toggle_bind(spec: FieldSpec, flags: jnp.ndarray, fingerprints: jnp.ndarray,
+                 eq: jnp.ndarray, r: jnp.ndarray):
+    """Bottom-bind flags/fingerprints (NON-interleaved pairs) + eq."""
+    def bb(t):
+        lo, hi = t[..., 0::2], t[..., 1::2]
+        rb = jnp.broadcast_to(r.reshape((fd.L,) + (1,) * (t.ndim - 1)), lo.shape)
+        return fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+
+    return bb(flags), bb(fingerprints), bb(eq)
+
+
+class ToggledBatchedGrandProduct:
+    """Flag-gated grand product: bottom layer computes flag*fp + 1 - flag.
+
+    The reference uses sparse flag-index lists (grand_product.rs:1049-1421);
+    here flags are DENSE 0/1 Montgomery tensors — masked dense compute with
+    identical transcript bytes.
+    """
+
+    def __init__(self, flags: jnp.ndarray, fingerprints: jnp.ndarray,
+                 spec: FieldSpec | None = None):
+        self.spec = spec or fr_spec()
+        self.flags = flags                # [L, m, T]
+        self.fingerprints = fingerprints  # [L, 2m, T]
+        values = _toggle_values(self.spec, flags, fingerprints)
+        self.layers = [values]
+        while self.layers[-1].shape[-1] > 2:
+            self.layers.append(_tree_level(self.spec, self.layers[-1]))
+
+    @staticmethod
+    def construct(leaves, spec: FieldSpec | None = None):
+        flags, fingerprints = leaves
+        return ToggledBatchedGrandProduct(flags, fingerprints, spec)
+
+    def claims(self) -> list[FElt]:
+        top = self.layers[-1]
+        prods = fd.fmul(self.spec, top[..., 0], top[..., 1])
+        return [FElt(int(v), self.spec)
+                for v in fd.device_to_ints(self.spec, prods).tolist()]
+
+    def prove(self, transcript: Transcript
+              ) -> tuple[BatchedGrandProductProof, list[FElt]]:
         spec = self.spec
         claims = self.claims()
-        r_grand_product: list[FElt] = []
-        layer_proofs: list[BatchedGrandProductLayerProof] = []
+        layer_proofs, r_grand_product, claims = _prove_dense_layers(
+            spec, self.layers, claims, [], transcript)
 
-        for layer in reversed(self.layers):
-            coeffs = transcript.challenge_vector(len(claims))
-            joint_claim = FElt(0, spec)
-            for c, co in zip(claims, coeffs):
-                joint_claim = joint_claim + c * co
-            coeffs_dev = jnp.stack(
-                [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
+        # toggle layer (grand_product.rs:1422-1474): log T rounds, no r_layer
+        coeffs = transcript.challenge_vector(len(claims))
+        joint_claim = FElt(0, spec)
+        for c, co in zip(claims, coeffs):
+            joint_claim = joint_claim + c * co
+        coeffs_dev = jnp.stack(
+            [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
+        eq = eq_evals_device(
+            spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
 
-            eq = eq_evals_device(
-                spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
-            num_rounds = len(r_grand_product)
+        flags, fps = self.flags, self.fingerprints
+        previous_claim = joint_claim
+        r_sumcheck: list[FElt] = []
+        compressed: list[CompressedUniPoly] = []
+        num_rounds = len(r_grand_product)
+        for _ in range(num_rounds):
+            e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
+            ints = fd.device_to_ints(spec, e023).tolist()
+            e0, e2, e3 = (FElt(int(v), spec) for v in ints)
+            round_poly = UniPoly.from_evals([e0, previous_claim - e0, e2, e3])
+            cpoly = round_poly.compress()
+            cpoly.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar()
+            r_sumcheck.append(r_j)
+            flags, fps, eq = _toggle_bind(spec, flags, fps, eq,
+                                          fd.scalar_to_device(spec, r_j.v))
+            previous_claim = round_poly.evaluate(r_j)
+            compressed.append(cpoly)
 
-            previous_claim = joint_claim
-            r_sumcheck: list[FElt] = []
-            compressed: list[CompressedUniPoly] = []
-            bound = layer
-            for _ in range(num_rounds):
-                e023 = _gp_cubic_evals(spec, bound, eq, coeffs_dev)
-                ints = fd.device_to_ints(spec, e023).tolist()
-                e0, e2, e3 = (FElt(int(v), spec) for v in ints)
-                evals = [e0, previous_claim - e0, e2, e3]
-                round_poly = UniPoly.from_evals(evals)
-                cpoly = round_poly.compress()
-                cpoly.append_to_transcript(transcript)
-                r_j = transcript.challenge_scalar()
-                r_sumcheck.append(r_j)
-                bound, eq = _gp_bind(spec, bound, eq,
-                                     fd.scalar_to_device(spec, r_j.v))
-                previous_claim = round_poly.evaluate(r_j)
-                compressed.append(cpoly)
+        flag_vals = fd.device_to_ints(spec, flags[..., 0]).tolist()
+        fp_vals = fd.device_to_ints(spec, fps[..., 0]).tolist()
+        left_claims = [FElt(int(flag_vals[b // 2]), spec)
+                       for b in range(len(fp_vals))]
+        right_claims = [FElt(int(v), spec) for v in fp_vals]
+        for lc, rc in zip(left_claims, right_claims):
+            transcript.append_scalar(lc)
+            transcript.append_scalar(rc)
 
-            # final claims: bound layer is [L, B, 2]
-            finals = fd.device_to_ints(spec, bound)
-            left_claims = [FElt(int(v), spec) for v in finals[:, 0].tolist()]
-            right_claims = [FElt(int(v), spec) for v in finals[:, 1].tolist()]
-
-            for lc, rc in zip(left_claims, right_claims):
-                transcript.append_scalar(lc)
-                transcript.append_scalar(rc)
-
-            r_grand_product = list(reversed(r_sumcheck))
-            r_layer = transcript.challenge_scalar()
-            claims = [lc + r_layer * (rc - lc)
-                      for lc, rc in zip(left_claims, right_claims)]
-            r_grand_product.append(r_layer)
-
-            layer_proofs.append(BatchedGrandProductLayerProof(
-                SumcheckInstanceProof(compressed), left_claims, right_claims))
-
+        r_grand_product = list(reversed(r_sumcheck))
+        layer_proofs.append(BatchedGrandProductLayerProof(
+            SumcheckInstanceProof(compressed), left_claims, right_claims))
         return BatchedGrandProductProof(layer_proofs), r_grand_product
+
+
+def toggled_verify_sumcheck_claim(layer_proof, coeffs, sumcheck_claim, eq_eval,
+                                  claims, r_grand_product, transcript,
+                                  layer_index: int, num_layers: int):
+    """Toggled GP claim check (grand_product.rs:1486-1546)."""
+    spec = sumcheck_claim.spec
+    one = FElt(1, spec)
+    if layer_index != num_layers - 1:
+        return default_verify_sumcheck_claim(
+            layer_proof, coeffs, sumcheck_claim, eq_eval, claims,
+            r_grand_product, transcript, layer_index, num_layers)
+    expected = FElt(0, spec)
+    for co, fl, fp in zip(coeffs, layer_proof.left_claims,
+                          layer_proof.right_claims):
+        expected = expected + co * eq_eval * (fl * fp + one - fl)
+    assert expected == sumcheck_claim, "toggle layer claim mismatch"
+    new_claims = [fl * fp + one - fl
+                  for fl, fp in zip(layer_proof.left_claims,
+                                    layer_proof.right_claims)]
+    return new_claims, r_grand_product
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +380,8 @@ def default_verify_sumcheck_claim(layer_proof: BatchedGrandProductLayerProof,
                                   coeffs: list[FElt], sumcheck_claim: FElt,
                                   eq_eval: FElt, claims: list[FElt],
                                   r_grand_product: list[FElt],
-                                  transcript: Transcript
+                                  transcript: Transcript,
+                                  layer_index: int = 0, num_layers: int = 0
                                   ) -> tuple[list[FElt], list[FElt]]:
     """Multiplication-gate layer claim check (grand_product.rs:89-122)."""
     spec = sumcheck_claim.spec
@@ -262,6 +436,6 @@ def verify_grand_product(proof: BatchedGrandProductProof,
         r_grand_product = list(reversed(r_sumcheck))
         claims_to_verify, r_grand_product = verify_sumcheck_claim(
             layer_proof, coeffs, sumcheck_claim, eq_eval, claims_to_verify,
-            r_grand_product, transcript)
+            r_grand_product, transcript, layer_index, len(proof.layers))
 
     return claims_to_verify, r_grand_product
