@@ -121,6 +121,64 @@ def prove_arbitrary(num_rounds: int,
     return SumcheckInstanceProof(compressed), r, final_evals
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _round_evals_bot(spec: FieldSpec, comb_func, degree: int,
+                     polys: tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Bottom-variable variant: pairs (2i, 2i+1) (sumcheck.rs:185-317)."""
+    lows = tuple(p[..., 0::2] for p in polys)
+    highs = tuple(p[..., 1::2] for p in polys)
+
+    def total(params):
+        return fd.fsum(spec, comb_func(spec, params), axis=-1)
+
+    evals = [total(lows), total(highs)]
+    cur = highs
+    for _ in range(2, degree + 1):
+        cur = tuple(fd.fadd(spec, c, fd.fsub(spec, h, l))
+                    for c, h, l in zip(cur, highs, lows))
+        evals.append(total(cur))
+    return jnp.stack(evals, axis=1)
+
+
+@partial(jax.jit, static_argnums=0)
+def _bind_all_bot(spec: FieldSpec, polys: tuple[jnp.ndarray, ...],
+                  r: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    from ..poly.mle import bind_bot
+    return tuple(bind_bot(spec, p, r) for p in polys)
+
+
+def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
+                        transcript: Transcript, spec: FieldSpec | None = None,
+                        claim: FElt | None = None):
+    """Bottom-binding sumcheck (used by Spartan's outer sumcheck; the final
+    evaluation point must be REVERSED by the caller, spartan.rs:146).
+
+    If `claim` is given, round evals at t=1 are derived as claim - e0 (the
+    reference's hint trick); values are identical for honest provers.
+    """
+    spec = spec or fr_spec()
+    polys = tuple(polys)
+    r: list[FElt] = []
+    compressed: list[CompressedUniPoly] = []
+    previous_claim = claim
+    for _ in range(num_rounds):
+        evals_dev = _round_evals_bot(spec, comb_func, degree, polys)
+        evals = _device_scalars_to_felts(spec, evals_dev)
+        if previous_claim is not None:
+            evals[1] = previous_claim - evals[0]
+        round_poly = UniPoly.from_evals(evals)
+        cpoly = round_poly.compress()
+        cpoly.append_to_transcript(transcript)
+        r_j = transcript.challenge_scalar()
+        r.append(r_j)
+        polys = _bind_all_bot(spec, polys, fd.scalar_to_device(spec, r_j.v))
+        if previous_claim is not None:
+            previous_claim = round_poly.evaluate(r_j)
+        compressed.append(cpoly)
+    final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys]
+    return SumcheckInstanceProof(compressed), r, final_evals
+
+
 # -- common combine functions (stable objects for jit caching) ---------------
 
 def comb_product(spec: FieldSpec, params):
