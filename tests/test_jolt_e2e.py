@@ -1,0 +1,33 @@
+"""Milestone B: full Jolt zkVM e2e — fibonacci proved and verified.
+
+Mirrors fib_e2e_mock (rv32i_vm.rs:308-311): a mini-instruction-set VM keeps
+the fused primary-sumcheck kernel small for CI; the full RV32I VM uses the
+identical code paths.
+"""
+from jolt_tpu.commitment import MockCommitmentScheme
+from jolt_tpu.field import fr_spec
+from jolt_tpu.instructions import AddInstruction, BneInstruction
+from jolt_tpu.subtables.rv32i import (EqSubtable, IdentitySubtable,
+                                      TruncateOverflowSubtable)
+from jolt_tpu.vm.host import fibonacci_program, trace_program
+from jolt_tpu.vm.rv32i_vm import mini_vm
+
+
+def test_fibonacci_e2e_mock():
+    spec = fr_spec()
+    vm = mini_vm([AddInstruction, BneInstruction],
+                 [TruncateOverflowSubtable(32), IdentitySubtable(),
+                  EqSubtable()],
+                 M_mini=1 << 8, spec=spec)
+    program = fibonacci_program(3)
+    steps, device, bytecode_rows = trace_program(
+        program, vm, max_input_size=32, max_output_size=32)
+    assert len(steps) >= 10
+
+    pcs = MockCommitmentScheme(spec)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    proof, commitments, prover_transcript, prover_acc = vm.prove(
+        device, steps, pre)
+
+    vm.verify(pre, proof, commitments, debug_transcript=prover_transcript,
+              debug_accumulator=prover_acc)
