@@ -1,0 +1,104 @@
+"""Command-line interface (reference: src/main.rs `jolt` binary +
+jolt-core/src/main.rs trace/bench driver).
+
+    python -m jolt_tpu.cli prove-fib [--n 8]      prove+verify fibonacci
+    python -m jolt_tpu.cli surge-bench [--nv 10]  Surge XOR prover benchmark
+    python -m jolt_tpu.cli gp-bench [--logn 14]   grand-product round throughput
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _init_jax(platform: str | None):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def cmd_prove_fib(args):
+    _init_jax(args.platform)
+    from .commitment import MockCommitmentScheme
+    from .field import fr_spec
+    from .instructions import AddInstruction, BneInstruction
+    from .subtables.rv32i import (EqSubtable, IdentitySubtable,
+                                  TruncateOverflowSubtable)
+    from .vm.host import fibonacci_program, trace_program
+    from .vm.rv32i_vm import mini_vm
+
+    spec = fr_spec()
+    vm = mini_vm([AddInstruction, BneInstruction],
+                 [TruncateOverflowSubtable(32), IdentitySubtable(),
+                  EqSubtable()], M_mini=1 << 8, spec=spec)
+    program = fibonacci_program(args.n)
+    steps, device, bytecode_rows = trace_program(
+        program, vm, max_input_size=32, max_output_size=32)
+    print(f"Trace length: {len(steps)}")
+    pcs = MockCommitmentScheme(spec)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    t0 = time.time()
+    proof, commitments, pt, pacc = vm.prove(device, steps, pre)
+    print(f"prove: {time.time() - t0:.2f}s")
+    t0 = time.time()
+    vm.verify(pre, proof, commitments)
+    print(f"verify: {time.time() - t0:.2f}s")
+    from .utils.serialization import proof_size_bytes
+    print(f"proof size (approx): {proof_size_bytes(proof)} bytes")
+
+
+def cmd_surge_bench(args):
+    """The fork's headline benchmark (bench.rs:109-210): Surge XOR lookups."""
+    _init_jax(args.platform)
+    import numpy as np
+    from .commitment import MockCommitmentScheme
+    from .field import fr_spec
+    from .instructions import XorInstruction
+    from .lasso import SurgePreprocessing, surge_prove, surge_verify
+
+    spec = fr_spec()
+    pre = SurgePreprocessing(XorInstruction, 4, 1 << 16, spec)
+    pcs = MockCommitmentScheme(spec)
+    rng = np.random.default_rng(0)
+    n = 1 << args.nv
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    y = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    t0 = time.time()
+    proof, pt, _ = surge_prove(pre, pcs, x, y)
+    dt = time.time() - t0
+    print(json.dumps({"surge_xor_nv": args.nv, "prove_seconds": round(dt, 3)}))
+    t0 = time.time()
+    surge_verify(pre, pcs, proof, debug_transcript=pt)
+    print(f"verify: {time.time() - t0:.3f}s")
+
+
+def cmd_gp_bench(args):
+    _init_jax(args.platform)
+    import subprocess
+    import sys
+    subprocess.run([sys.executable, "bench.py"], check=True)
+
+
+def main():
+    p = argparse.ArgumentParser(prog="jolt_tpu")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu / tpu / axon)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    f = sub.add_parser("prove-fib")
+    f.add_argument("--n", type=int, default=8)
+    f.set_defaults(fn=cmd_prove_fib)
+    s = sub.add_parser("surge-bench")
+    s.add_argument("--nv", type=int, default=10)
+    s.set_defaults(fn=cmd_surge_bench)
+    g = sub.add_parser("gp-bench")
+    g.add_argument("--logn", type=int, default=14)
+    g.set_defaults(fn=cmd_gp_bench)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
