@@ -148,6 +148,18 @@ class Emulator:
             rd_val = _u32(x1 * x2)
         elif op == RV32IM.MULHU:
             rd_val = (x1 * x2) >> 32
+        elif op == RV32IM.MULH:
+            rd_val = _u32((_s32(x1) * _s32(x2)) >> 32)
+        elif op == RV32IM.MULHSU:
+            rd_val = _u32((_s32(x1) * x2) >> 32)
+        elif op in (RV32IM.DIV, RV32IM.REM):
+            from ..vm.virtual_sequences import _signed_divmod
+            q, r = _signed_divmod(x1, x2)
+            rd_val = q if op == RV32IM.DIV else r
+        elif op in (RV32IM.DIVU, RV32IM.REMU):
+            from ..vm.virtual_sequences import _unsigned_divmod
+            q, r = _unsigned_divmod(x1, x2)
+            rd_val = q if op == RV32IM.DIVU else r
         elif op in (RV32IM.FENCE, RV32IM.ECALL, RV32IM.EBREAK):
             pass
         elif op == RV32IM.VIRTUAL_MOVE:

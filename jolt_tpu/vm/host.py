@@ -93,16 +93,19 @@ def trace_program(program: list[ELFInstruction], vm,
                   ) -> tuple[list[JoltTraceStep], JoltDevice, list[BytecodeRow]]:
     """Run the emulator and convert rows to prover trace steps
     (host/mod.rs:178-214)."""
+    from .virtual_sequences import expand_bytecode, expand_m_extension
     device = JoltDevice.new(max_input_size, max_output_size)
     device.inputs.extend(inputs)
     emulator = Emulator(program, device)
-    rows = emulator.run()
+    raw_rows = emulator.run()
+    # M-extension rows expand into virtual sequences (host/mod.rs:185-195)
+    rows = [r for raw in raw_rows for r in expand_m_extension(raw)]
     ni = len(vm.instruction_classes)
     steps = [trace_row_to_step(r, vm.name_to_index, ni) for r in rows]
     bytecode_rows = [
         BytecodeRow.from_instruction(
             i, vm.name_to_index.get(_lookup_name(i)), ni)
-        for i in program]
+        for i in expand_bytecode(program)]
     return steps, device, bytecode_rows
 
 
