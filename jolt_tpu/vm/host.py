@@ -90,14 +90,26 @@ def trace_program(program: list[ELFInstruction], vm,
                   inputs: bytes = b"",
                   max_input_size: int = DEFAULT_MAX_INPUT_SIZE,
                   max_output_size: int = DEFAULT_MAX_OUTPUT_SIZE,
+                  native: bool = True,
                   ) -> tuple[list[JoltTraceStep], JoltDevice, list[BytecodeRow]]:
     """Run the emulator and convert rows to prover trace steps
-    (host/mod.rs:178-214)."""
+    (host/mod.rs:178-214).  `native=True` uses the C++ tracer
+    (jolt_tpu/native/tracer.cpp); the Python emulator is the fallback and
+    cross-checking oracle."""
     from .virtual_sequences import expand_bytecode, expand_m_extension
     device = JoltDevice.new(max_input_size, max_output_size)
     device.inputs.extend(inputs)
-    emulator = Emulator(program, device)
-    raw_rows = emulator.run()
+    raw_rows = None
+    if native:
+        try:
+            from ..native import trace_native
+            raw_rows = trace_native(program, device)
+        except Exception:
+            device = JoltDevice.new(max_input_size, max_output_size)
+            device.inputs.extend(inputs)
+    if raw_rows is None:
+        emulator = Emulator(program, device)
+        raw_rows = emulator.run()
     # M-extension rows expand into virtual sequences (host/mod.rs:185-195)
     rows = [r for raw in raw_rows for r in expand_m_extension(raw)]
     ni = len(vm.instruction_classes)
