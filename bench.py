@@ -37,28 +37,40 @@ def main():
         fd.pack_u64(rng.integers(1, 1 << 63, size=(B,), dtype=np.uint64))))
     r = fd.scalar_to_device(spec, 987654321987654321)
 
+    # K rounds chained ON DEVICE per dispatch: a per-round host round-trip
+    # would measure tunnel latency, not kernel throughput.  Each iteration
+    # feeds the previous round evals back into the coefficients (a real data
+    # dependency, so nothing can be CSE'd away), exactly the shape of work a
+    # GKR layer does between Fiat-Shamir challenges.
+    K = 64
+
     def step(layer, eq, coeffs, r):
-        evals = _gp_cubic_evals(spec, layer, eq, coeffs)
+        def body(_, carry):
+            coeffs, acc = carry
+            evals = _gp_cubic_evals(spec, layer, eq, coeffs)
+            delta = jnp.broadcast_to(evals[:, 0:1], coeffs.shape)
+            return fd.fadd(spec, coeffs, delta), fd.fadd(spec, acc, evals)
+        coeffs, acc = jax.lax.fori_loop(0, K, body,
+                                        (coeffs, fd.zeros(spec, (3,))))
         new_layer, new_eq = _gp_bind(spec, layer, eq, r)
-        return evals, new_layer, new_eq
+        return acc, new_layer, new_eq
 
     step_jit = jax.jit(step)
     out = step_jit(layer, eq, coeffs, r)
     jax.block_until_ready(out)  # compile + warmup
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step_jit(layer, eq, coeffs, r)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
-    # field muls per round (additions are ~free relative to Montgomery muls):
-    # cubic: per quad per batch: 2 coeff-muls + 3 product muls = 5; per quad:
-    # 3 eq muls; sums are adds.  bind: 2 muls per quad per batch + 1 eq mul
-    # per pair.
+    # field muls per cubic-evals round: per quad per batch 2 coeff-muls +
+    # 3 product muls = 5; per quad 3 eq muls.  Plus one bind: 2 muls per
+    # quad per batch + 1 eq mul per pair.
     quads = n // 4
-    muls = quads * (B * 5 + 3) + quads * (B * 2) + (n // 2) * 1
+    muls = K * quads * (B * 5 + 3) + quads * (B * 2) + (n // 2) * 1
     ops_per_sec = muls / dt
     baseline = 5e8  # multicore-rayon arkworks Fr mul/s (see module docstring)
     print(json.dumps({

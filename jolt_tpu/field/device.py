@@ -75,30 +75,89 @@ def _mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return cols.astype(U32).reshape((2 * nl + 1,) + batch)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _parallel_carries() -> bool:
+    """Kogge-Stone carries on TPU; lax.scan chains on CPU (keeps the CPU
+    test-suite compile cache valid and compiles to one tight loop there)."""
+    import os as _os
+    if _os.environ.get("JOLT_TPU_FORCE_KS_CARRY"):
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _shift_up(x: jnp.ndarray, d: int, fill: int) -> jnp.ndarray:
+    """[i] <- x[i-d] along the leading limb axis; positions < d get `fill`."""
+    pad = jnp.full((d,) + x.shape[1:], fill, dtype=x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
+def _kogge_stone_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Carry into each limb from per-limb (generate, propagate) bits.
+
+    c_0 = 0, c_{i+1} = g_i | (p_i & c_i), solved in log2(K) parallel rounds —
+    the lax.scan carry chain would serialize every field op on the VPU.
+    """
+    K = g.shape[0]
+    G, P = g, p
+    d = 1
+    while d < K:
+        G = G | (P & _shift_up(G, d, 0))
+        P = P & _shift_up(P, d, 1)
+        d *= 2
+    return _shift_up(G, 1, 0)  # carry INTO limb i = combined generate of 0..i-1
+
+
 def _carry(t: jnp.ndarray) -> jnp.ndarray:
     """Propagate carries along the leading limb axis (redundant -> 16-bit).
 
-    The represented integer must fit in t.shape[0] limbs.
+    The represented integer must fit in t.shape[0] limbs.  On TPU: two
+    stages — (A) fold each limb's high bits into the next limb (one roll +
+    add; sums stay < 2^17), then (B) resolve the remaining single-bit carry
+    chain with a log-depth carry-lookahead (a lax.scan would serialize the
+    VPU).  On CPU a scan compiles to one tight loop and is kept.
     """
-    def step(c, v):
-        s = v + c
-        return s >> W, s & MASK
-
-    _, out = jax.lax.scan(step, jnp.zeros(t.shape[1:], dtype=U32), t)
-    return out
+    if not _parallel_carries():
+        def step(c, v):
+            s = v + c
+            return s >> W, s & MASK
+        _, out = jax.lax.scan(step, jnp.zeros(t.shape[1:], dtype=U32), t)
+        return out
+    s = (t & MASK) + _shift_up(t >> W, 1, 0)       # < 2^17 - 1
+    g = s >> W                                      # 0/1 generate
+    p = jnp.where((s & MASK) == MASK, jnp.uint32(1), jnp.uint32(0))
+    c = _kogge_stone_carries(g, p)
+    return (s + c) & MASK
 
 
 def _sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b limbwise; returns (16-bit diff limbs, final borrow 0/1)."""
+    """a - b limbwise; returns (16-bit diff limbs, final borrow 0/1).
+
+    Same log-depth lookahead as _carry on TPU: d_i = a_i + 2^16 - b_i;
+    a borrow is generated when d_i < 2^16, propagated when d_i == 2^16.
+    """
     one = jnp.uint32(1 << W)
-
-    def step(borrow, ab):
-        ai, bi = ab
-        v = ai + one - bi - borrow
-        return jnp.uint32(1) - (v >> W), v & MASK
-
-    borrow, out = jax.lax.scan(step, jnp.zeros(a.shape[1:], dtype=U32), (a, b))
-    return out, borrow
+    if not _parallel_carries():
+        def step(borrow, ab):
+            ai, bi = ab
+            v = ai + one - bi - borrow
+            return jnp.uint32(1) - (v >> W), v & MASK
+        borrow, out = jax.lax.scan(step, jnp.zeros(a.shape[1:], dtype=U32),
+                                   (a, b))
+        return out, borrow
+    d = a + one - b                                 # in (0, 2^17)
+    g = jnp.uint32(1) - (d >> W)                    # borrow generated
+    p = jnp.where(d == one, jnp.uint32(1), jnp.uint32(0))
+    c = _kogge_stone_carries(g, p)                  # borrow INTO limb i
+    out = (d - c) & MASK
+    # borrow out of the top limb: generate there, or propagate its carry-in
+    top = g[-1] | (p[-1] & c[-1])
+    return out, top
 
 
 def _cond_sub_p(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
@@ -148,8 +207,35 @@ def _mont_redc(spec: FieldSpec, t16: jnp.ndarray) -> jnp.ndarray:
     return _cond_sub_p(spec, hi)
 
 
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_backend() -> bool:
+    """Use the fused Pallas Montgomery kernel on TPU backends."""
+    if os.environ.get("JOLT_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def fmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product: (a * b * R^{-1}) mod p, both operands Montgomery."""
+    """Montgomery product: (a * b * R^{-1}) mod p, both operands Montgomery.
+
+    On TPU, large batches take the fused Pallas kernel (pallas_mont.py) —
+    the whole SOS pipeline stays in VMEM instead of round-tripping [512, N]
+    intermediates through HBM.  Bit-identical results either way.
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    batch = 1
+    for s in shape[1:]:
+        batch *= s
+    if batch >= 1024 and _pallas_backend():
+        from .pallas_mont import mont_mul_pallas
+        return mont_mul_pallas(spec, jnp.broadcast_to(a, shape),
+                               jnp.broadcast_to(b, shape))
     t = _carry(_mul_columns(a, b))
     return _mont_redc(spec, t)
 
