@@ -24,7 +24,8 @@ from ..poly.mle import bind_bot
 from ..poly.opening_proof import rlc_polys
 from ..transcript import Transcript
 from .base import BatchType, CommitShape
-from .kzg import (KZGProverKey, KZGVerifierKey, kzg_commit, kzg_open_no_rem,
+from .kzg import (KZGProverKey, KZGVerifierKey, kzg_commit,
+                  kzg_commit_grand_product, kzg_open_no_rem,
                   poly_eval_device, srs_setup)
 
 FR = fr_spec()
@@ -76,6 +77,11 @@ class HyperKZG:
     def batch_commit(self, polys: Sequence[jnp.ndarray],
                      batch_type: BatchType = BatchType.BIG
                      ) -> list[HyperKZGCommitment]:
+        """GrandProduct batches take the mostly-ones shortcut [FORK]
+        (hyperkzg.rs:554-566 -> kzg.rs:223-256); same commitment bytes."""
+        if batch_type == BatchType.GRAND_PRODUCT:
+            return [HyperKZGCommitment(kzg_commit_grand_product(self.pk, p))
+                    for p in polys]
         return [self.commit(p) for p in polys]
 
     def combine_commitments(self, commitments: Sequence[HyperKZGCommitment],

@@ -38,6 +38,14 @@ FR = fr_spec()
 class KZGProverKey:
     g1_jac: tuple  # (X, Y, Z) device limb tensors [L, N] — g * tau^i
     n: int
+    _g_products: list | None = None  # lazily: sum(g1[:2^k]) per k (kzg.rs:66-77)
+
+    def g_products(self) -> list:
+        """All-ones-vector commitments per power-of-two length [FORK]
+        (kzg.rs:66-77) — lazily computed with a log-depth device pass."""
+        if self._g_products is None:
+            self._g_products = _compute_g_products(self.g1_jac, self.n)
+        return self._g_products
 
 
 @dataclass
@@ -130,6 +138,43 @@ def kzg_commit(pk: KZGProverKey, coeffs_mont: jnp.ndarray) -> G1Affine:
     return _msm_jac(pts, coeffs_mont)
 
 
+@partial(jax.jit, static_argnums=())
+def _point_tree_level(P):
+    return cd.jac_add(tuple(t[..., 0::2] for t in P),
+                      tuple(t[..., 1::2] for t in P))
+
+
+def _compute_g_products(g1_jac, n: int) -> list:
+    """[sum(g1[:2^k]) for k in 0..log2(n)] via one pairwise-reduction sweep:
+    after j halvings, element 0 is the prefix sum of the first 2^j points."""
+    k_max = n.bit_length() - 1
+    P = tuple(t[..., :1 << k_max] for t in g1_jac)
+    first = lambda Q: cd.jacobian_to_host(*(t[..., 0:1] for t in Q))[0]
+    products = [first(P)]
+    for _ in range(k_max):
+        P = _point_tree_level(P)
+        products.append(first(P))
+    return products
+
+
+def kzg_commit_grand_product(pk: KZGProverKey, coeffs_mont: jnp.ndarray
+                             ) -> G1Affine:
+    """CommitMode::GrandProduct [FORK] (kzg.rs:137-144, 223-256): ~93% of
+    grand-product leaf coefficients are 1, so commit g_products[k] plus the
+    MSM of the (coeff - 1) residual.  Identical commitment bytes; on CPU it
+    skips most bucket adds, on TPU it zeroes most MSM digits."""
+    n = coeffs_mont.shape[-1]
+    if n & (n - 1):
+        return kzg_commit(pk, coeffs_mont)
+    ones = fd.ones(FR, (n,))
+    residual = fd.fsub(FR, coeffs_mont, ones)
+    X, Y, Z = pk.g1_jac
+    pts = (X[..., :n], Y[..., :n], Z[..., :n])
+    msm_part = _msm_jac(pts, residual)
+    total = pk.g_products()[n.bit_length() - 1].add(msm_part.to_jacobian())
+    return total.to_affine()
+
+
 def _msm_jac(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
     """MSM accepting Jacobian device points."""
     canonical = fd.from_mont_device(FR, scalars_mont)
@@ -154,7 +199,7 @@ def msm_jacobian(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
     return _msm_jac(points_jac, scalars_mont)
 
 
-@partial(jax.jit, static_argnums=0)
+@partial(jax.jit, static_argnums=(0, 2))
 def _powers_device(spec: FieldSpec, u: jnp.ndarray, n: int) -> jnp.ndarray:
     """[1, u, u^2, ..., u^{n-1}] by log-doubling; u: [L] Montgomery."""
     table = fd.ones(spec, (1,))

@@ -40,6 +40,7 @@ class BatchedGrandProductLayerProof:
 @dataclass
 class BatchedGrandProductProof:
     layers: list[BatchedGrandProductLayerProof]
+    quark: object | None = None  # QuarkGrandProductProof in the hybrid scheme
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +67,12 @@ def _gp_cubic_evals(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
     Computes sum_i eq_t(i) * sum_b coeff_b * left_t(b,i) * right_t(b,i)
     with the coefficient folded into `left` (one fewer mul, as in
     grand_product.rs:363-390 — order of operations preserved mod p).
+    On TPU, big layers take the fully-fused Pallas round kernel.
     """
+    m = layer.shape[-1] // 4
+    if layer.ndim == 3 and m >= 512 and m % 512 == 0 and fd._pallas_backend():
+        from ..field.pallas_mont import gp_cubic_evals_pallas
+        return gp_cubic_evals_pallas(spec, layer, eq, coeffs)
     l0, r0 = layer[..., 0::4], layer[..., 1::4]
     l1, r1 = layer[..., 2::4], layer[..., 3::4]
     cl0 = fd.fmul(spec, _bcast_coeffs(coeffs, l0), l0)
@@ -100,7 +106,12 @@ def _gp_bind(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
 
     Preserves interleaving (grand_product.rs:297-319): pairs (4i, 4i+2)
     become the new left nodes, (4i+1, 4i+3) the new right nodes.
+    On TPU, big layers take the fused Pallas bind kernel.
     """
+    m = layer.shape[-1] // 4
+    if layer.ndim == 3 and m >= 512 and m % 512 == 0 and fd._pallas_backend():
+        from ..field.pallas_mont import gp_bind_pallas
+        return gp_bind_pallas(spec, layer, eq, r)
     l0, r0 = layer[..., 0::4], layer[..., 1::4]
     l1, r1 = layer[..., 2::4], layer[..., 3::4]
     rb = jnp.broadcast_to(r.reshape((fd.L,) + (1,) * (layer.ndim - 1)), l0.shape)
@@ -123,12 +134,22 @@ class BatchedDenseGrandProduct:
         self.spec = spec
 
     @staticmethod
-    def construct(leaves: jnp.ndarray, spec: FieldSpec | None = None
-                  ) -> "BatchedDenseGrandProduct":
+    def construct(leaves: jnp.ndarray, spec: FieldSpec | None = None,
+                  mesh=None) -> "BatchedDenseGrandProduct":
+        """With `mesh`, the hypercube axis of every big tree level is sharded
+        across the device mesh; the round kernels stay ordinary jits and XLA
+        partitions the local folds + inserts the cross-chip reductions for
+        the tiny [L, 3] round evaluations.  Small tail layers replicate."""
         spec = spec or fr_spec()
+        if mesh is not None:
+            from ..parallel.sharding import maybe_shard
+            leaves = maybe_shard(mesh, leaves)
         layers = [leaves]
         while layers[-1].shape[-1] > 2:
             layers.append(_tree_level(spec, layers[-1]))
+        if mesh is not None:
+            from ..parallel.sharding import shard_gp_layers
+            layers = shard_gp_layers(mesh, layers)
         return BatchedDenseGrandProduct(layers, spec)
 
     def num_layers(self) -> int:

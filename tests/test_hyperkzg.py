@@ -61,3 +61,24 @@ def test_hyperkzg_with_opening_accumulator():
     vacc = VerifierOpeningAccumulator(pcs, spec)
     vacc.append([pcs.commit(p1), pcs.commit(p2)], point, [c1, c2], vt)
     vacc.reduce_and_verify(pcs, reduced, vt)
+
+
+def test_commit_grand_product_mode_equivalence():
+    """CommitMode::GrandProduct == Default on mostly-ones vectors
+    (mirrors kzg.rs:298-341 commit-mode tests)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jolt_tpu.commitment.kzg import (kzg_commit, kzg_commit_grand_product,
+                                         srs_setup)
+    from jolt_tpu.field import fr_spec
+    from jolt_tpu.field import device as fd
+
+    spec = fr_spec()
+    pk, _ = srs_setup(1 << 6)
+    rng = np.random.default_rng(42)
+    vals = rng.integers(1, 1 << 32, size=1 << 6, dtype=np.uint64)
+    vals[rng.random(1 << 6) < 0.9] = 1          # 90% ones, as in the bench
+    coeffs = fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(vals)))
+    a = kzg_commit(pk, coeffs)
+    b = kzg_commit_grand_product(pk, coeffs)
+    assert a.x == b.x and a.y == b.y and a.is_infinity == b.is_infinity
