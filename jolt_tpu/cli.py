@@ -22,6 +22,9 @@ def _init_jax(platform: str | None):
 
 def cmd_prove_fib(args):
     _init_jax(args.platform)
+    if getattr(args, "profile", False):
+        from .utils import profiling
+        profiling.enable()
     from .commitment import MockCommitmentScheme
     from .field import fr_spec
     from .instructions import AddInstruction, BneInstruction
@@ -48,6 +51,91 @@ def cmd_prove_fib(args):
     print(f"verify: {time.time() - t0:.2f}s")
     from .utils.serialization import proof_size_bytes
     print(f"proof size (approx): {proof_size_bytes(proof)} bytes")
+    if getattr(args, "profile", False):
+        from .utils import profiling
+        profiling.print_cumulative()
+
+
+def cmd_pcs_bench(args):
+    """Batch-commit timing per PCS (benches/pcs_bench.rs:25-33 analog)."""
+    _init_jax(args.platform)
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from .field import fr_spec
+    from .field import device as fd
+
+    spec = fr_spec()
+    n = 1 << args.logn
+    if args.pcs == "hyperkzg":
+        from .commitment.hyperkzg import HyperKZG
+        pcs = HyperKZG.setup(n)
+    elif args.pcs == "zeromorph":
+        from .commitment.zeromorph import Zeromorph
+        pcs = Zeromorph.setup(n)
+    else:
+        from .commitment.hyrax import HyraxScheme
+        pcs = HyraxScheme.setup(n)
+    rng = np.random.default_rng(0)
+    poly = fd.to_mont_device(spec, jnp.asarray(
+        fd.pack_u64(rng.integers(1, 1 << 63, size=n, dtype=np.uint64))))
+    t0 = time.time()
+    pcs.commit(poly)
+    print(f"{args.pcs} commit 2^{args.logn}: {time.time() - t0:.3f}s "
+          "(first call includes compile)")
+    t0 = time.time()
+    pcs.commit(poly)
+    print(f"{args.pcs} commit 2^{args.logn} (warm): {time.time() - t0:.3f}s")
+
+
+def cmd_analyze(args):
+    """Per-opcode trace histogram (host/analyze.rs:27-44 analog)."""
+    _init_jax(args.platform)
+    from .vm.analyze import trace_analyze
+    from .vm.rv32i_vm import rv32i_vm
+    if args.guest == "sha2-chain":
+        from .vm.guests import sha2_chain_program
+        program = sha2_chain_program(args.n)
+        inputs = b"\x05" * 32
+    else:
+        from .vm.host import fibonacci_program
+        program = fibonacci_program(args.n)
+        inputs = b""
+    vm = rv32i_vm()
+    summary = trace_analyze(program, vm, inputs=inputs)
+    print(f"Trace length: {summary.trace_len()}")
+    for op, count in summary.analyze():
+        print(f"{op.name:12s} {count}")
+
+
+def cmd_prove_sha2_chain(args):
+    """End-to-end sha2-chain prove+verify on the full RV32I VM
+    (bench.rs:212-246 analog)."""
+    _init_jax(args.platform)
+    from .commitment import MockCommitmentScheme
+    from .field import fr_spec
+    from .utils import profiling
+    from .vm.guests import sha2_chain_expected, sha2_chain_program
+    from .vm.host import trace_program
+    from .vm.rv32i_vm import rv32i_vm
+
+    profiling.enable()
+    spec = fr_spec()
+    vm = rv32i_vm(spec)
+    inputs = b"\x05" * 32
+    program = sha2_chain_program(args.iters)
+    steps, device, bytecode_rows = trace_program(program, vm, inputs=inputs)
+    assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, args.iters)
+    print(f"Trace length: {len(steps)}")
+    pcs = MockCommitmentScheme(spec)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    t0 = time.time()
+    proof, commitments, _, _ = vm.prove(device, steps, pre)
+    print(f"prove: {time.time() - t0:.2f}s")
+    t0 = time.time()
+    vm.verify(pre, proof, commitments)
+    print(f"verify: {time.time() - t0:.2f}s")
+    profiling.print_cumulative()
 
 
 def cmd_surge_bench(args):
@@ -89,6 +177,8 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     f = sub.add_parser("prove-fib")
     f.add_argument("--n", type=int, default=8)
+    f.add_argument("--profile", action="store_true",
+                   help="print cumulative span timings (sum_timer.rs analog)")
     f.set_defaults(fn=cmd_prove_fib)
     s = sub.add_parser("surge-bench")
     s.add_argument("--nv", type=int, default=10)
@@ -96,6 +186,19 @@ def main():
     g = sub.add_parser("gp-bench")
     g.add_argument("--logn", type=int, default=14)
     g.set_defaults(fn=cmd_gp_bench)
+    pb = sub.add_parser("pcs-bench")
+    pb.add_argument("--logn", type=int, default=12)
+    pb.add_argument("--pcs", default="hyperkzg",
+                    choices=["hyperkzg", "zeromorph", "hyrax"])
+    pb.set_defaults(fn=cmd_pcs_bench)
+    an = sub.add_parser("analyze")
+    an.add_argument("--guest", default="sha2-chain",
+                    choices=["sha2-chain", "fibonacci"])
+    an.add_argument("--n", type=int, default=1)
+    an.set_defaults(fn=cmd_analyze)
+    sh = sub.add_parser("prove-sha2-chain")
+    sh.add_argument("--iters", type=int, default=1)
+    sh.set_defaults(fn=cmd_prove_sha2_chain)
     args = p.parse_args()
     args.fn(args)
 

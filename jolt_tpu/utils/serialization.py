@@ -91,6 +91,18 @@ def serialize_grand_product(w: Writer, proof) -> None:
         serialize_sumcheck(w, layer.proof)
         w.felts(layer.left_claims)
         w.felts(layer.right_claims)
+    # quark option (None in the production VM path, grand_product.rs:37-41)
+    w.u64(1 if getattr(proof, "quark", None) is not None else 0)
+    if getattr(proof, "quark", None) is not None:
+        q = proof.quark
+        serialize_sumcheck(w, q.sumcheck_proof)
+        w.points([c.point for c in q.g_commitment])
+        w.felts(q.claimed_eval_g_r)
+        w.felts(q.claimed_eval_g_r_x[0])
+        w.felts(q.claimed_eval_g_r_x[1])
+        w.felts(q.helper_values[0])
+        w.felts(q.helper_values[1])
+        w.u64(q.num_vars)
 
 
 def deserialize_grand_product(r: Reader):
@@ -103,7 +115,17 @@ def deserialize_grand_product(r: Reader):
         left = r.felts()
         right = r.felts()
         layers.append(BatchedGrandProductLayerProof(sp, left, right))
-    return BatchedGrandProductProof(layers)
+    quark = None
+    if r.u64():
+        from ..commitment.hyperkzg import HyperKZGCommitment
+        from ..subprotocols.grand_product_quarks import QuarkGrandProductProof
+        sp = deserialize_sumcheck(r)
+        g_com = [HyperKZGCommitment(p) for p in r.points()]
+        g_r = r.felts()
+        g_r_x = (r.felts(), r.felts())
+        helper = (r.felts(), r.felts())
+        quark = QuarkGrandProductProof(sp, g_com, g_r, g_r_x, helper, r.u64())
+    return BatchedGrandProductProof(layers, quark)
 
 
 def proof_size_bytes(obj) -> int:
@@ -132,3 +154,195 @@ def _serialize_any(w: Writer, obj) -> None:
     elif hasattr(obj, "__dict__"):
         for v in vars(obj).values():
             _serialize_any(w, v)
+
+
+# ---------------------------------------------------------------------------
+# Full JoltProof (de)serialization — the `JoltHyperKZGProof` Serializable
+# analog (rv32i_vm.rs:193-235).  Explicit schema per struct, field order
+# documented by the write order below.
+# ---------------------------------------------------------------------------
+
+def _write_option(w: Writer, val, write_fn) -> None:
+    if val is None:
+        w.u64(0)
+    else:
+        w.u64(1)
+        write_fn(val)
+
+
+def serialize_multiset_hashes(w: Writer, mh) -> None:
+    w.felts(mh.read_hashes)
+    w.felts(mh.write_hashes)
+    w.felts(mh.init_hashes)
+    w.felts(mh.final_hashes)
+
+
+def deserialize_multiset_hashes(r: Reader):
+    from ..lasso.memory_checking import MultisetHashes
+    return MultisetHashes(r.felts(), r.felts(), r.felts(), r.felts())
+
+
+def serialize_memory_checking(w: Writer, proof) -> None:
+    serialize_multiset_hashes(w, proof.multiset_hashes)
+    serialize_grand_product(w, proof.read_write_grand_product)
+    serialize_grand_product(w, proof.init_final_grand_product)
+    # openings/exogenous_openings are default-initialized in the fork
+    # (memory_checking.rs:46-64 + gutted compute_openings) — presence flag 0.
+    w.u64(0)
+
+
+def deserialize_memory_checking(r: Reader):
+    from ..lasso.memory_checking import MemoryCheckingProof
+    mh = deserialize_multiset_hashes(r)
+    rw = deserialize_grand_product(r)
+    inf = deserialize_grand_product(r)
+    r.u64()
+    return MemoryCheckingProof(mh, rw, inf)
+
+
+def serialize_hyperkzg_proof(w: Writer, proof) -> None:
+    w.points(proof.com)
+    w.points(proof.w)
+    w.u64(len(proof.v))
+    for row in proof.v:
+        w.felts(row)
+
+
+def deserialize_hyperkzg_proof(r: Reader):
+    from ..commitment.hyperkzg import HyperKZGProof
+    com = r.points()
+    wit = r.points()
+    v = [r.felts() for _ in range(r.u64())]
+    return HyperKZGProof(com, wit, v)
+
+
+def serialize_reduced_opening(w: Writer, proof) -> None:
+    serialize_sumcheck(w, proof.sumcheck_proof)
+    w.felts(proof.sumcheck_claims)
+    serialize_hyperkzg_proof(w, proof.joint_opening_proof)
+
+
+def deserialize_reduced_opening(r: Reader):
+    from ..poly.opening_proof import ReducedOpeningProof
+    sp = deserialize_sumcheck(r)
+    claims = r.felts()
+    joint = deserialize_hyperkzg_proof(r)
+    return ReducedOpeningProof(sp, claims, joint)
+
+
+def serialize_jolt_proof(w: Writer, proof) -> None:
+    """JoltProof {trace_length, program_io, bytecode, read_write_memory,
+    instruction_lookups, r1cs, opening_proof} (vm/mod.rs:101-117)."""
+    w.u64(proof.trace_length)
+    io = proof.program_io
+    w.u64(io.memory_layout.max_input_size)
+    w.u64(io.memory_layout.max_output_size)
+    w.u64(len(io.inputs))
+    w.buf.write(bytes(io.inputs))
+    w.u64(len(io.outputs))
+    w.buf.write(bytes(io.outputs))
+    w.u64(int(io.panic))
+
+    serialize_memory_checking(w, proof.bytecode)
+
+    rwm = proof.read_write_memory
+    serialize_memory_checking(w, rwm.memory_checking_proof)
+    w.u64(rwm.output_proof.num_rounds)
+    serialize_sumcheck(w, rwm.output_proof.sumcheck_proof)
+    w.felt(rwm.output_proof.opening)
+    ts = rwm.timestamp_validity_proof
+    serialize_multiset_hashes(w, ts.multiset_hashes)
+    w.felts(ts.openings)
+    w.felts(ts.exogenous_openings)
+    serialize_grand_product(w, ts.batched_grand_product)
+    _write_option(w, ts.identity_opening, w.felt)
+
+    il = proof.instruction_lookups
+    serialize_sumcheck(w, il.primary_sumcheck.sumcheck_proof)
+    w.u64(il.primary_sumcheck.num_rounds)
+    w.felts(il.primary_sumcheck.openings.E_poly_openings)
+    w.felts(il.primary_sumcheck.openings.flag_openings)
+    w.felt(il.primary_sumcheck.openings.lookup_outputs_opening)
+    serialize_memory_checking(w, il.memory_checking)
+
+    sp = proof.r1cs
+    serialize_sumcheck(w, sp.outer_sumcheck_proof)
+    w.felts(list(sp.outer_sumcheck_claims))
+    serialize_sumcheck(w, sp.inner_sumcheck_proof)
+    w.felts(sp.claimed_witness_evals)
+
+    serialize_reduced_opening(w, proof.opening_proof)
+
+
+def deserialize_jolt_proof(r: Reader):
+    from ..vm.jolt import JoltProof
+    from ..vm.read_write_memory import (OutputSumcheckProof,
+                                        ReadWriteMemoryProof)
+    from ..vm.timestamp_range_check import TimestampValidityProof
+    from ..vm.instruction_lookups import (InstructionLookupsProof,
+                                          PrimarySumcheck,
+                                          PrimarySumcheckOpenings)
+    from ..vm.r1cs import UniformSpartanProof
+    from ..vm.rv_trace import JoltDevice
+
+    trace_length = r.u64()
+    max_in, max_out = r.u64(), r.u64()
+    io = JoltDevice.new(max_in, max_out)
+    io.inputs.extend(r.buf.read(r.u64()))
+    io.outputs.extend(r.buf.read(r.u64()))
+    io.panic = bool(r.u64())
+
+    bytecode = deserialize_memory_checking(r)
+
+    mc = deserialize_memory_checking(r)
+    out_rounds = r.u64()
+    out_sc = deserialize_sumcheck(r)
+    out_open = r.felt()
+    mh = deserialize_multiset_hashes(r)
+    openings = r.felts()
+    exo = r.felts()
+    gp = deserialize_grand_product(r)
+    ident = r.felt() if r.u64() else None
+    ts = TimestampValidityProof(mh, openings, exo, gp, ident)
+    rwm = ReadWriteMemoryProof(mc, OutputSumcheckProof(out_rounds, out_sc,
+                                                       out_open), ts)
+
+    ps_sc = deserialize_sumcheck(r)
+    ps_rounds = r.u64()
+    e_open = r.felts()
+    f_open = r.felts()
+    o_open = r.felt()
+    il_mc = deserialize_memory_checking(r)
+    il = InstructionLookupsProof(
+        PrimarySumcheck(ps_sc, ps_rounds,
+                        PrimarySumcheckOpenings(e_open, f_open, o_open)),
+        il_mc)
+
+    outer = deserialize_sumcheck(r)
+    claims = r.felts()
+    inner = deserialize_sumcheck(r)
+    wit = r.felts()
+    sp = UniformSpartanProof(outer, tuple(claims), inner, wit)
+
+    opening = deserialize_reduced_opening(r)
+    return JoltProof(trace_length, io, bytecode, rwm, il, sp, opening)
+
+
+def serialize_jolt_proof_with_commitments(proof, commitments) -> bytes:
+    """Proof + HyperKZG commitments -> bytes (file/bytes persistence,
+    rv32i_vm.rs:193-235)."""
+    w = Writer()
+    serialize_jolt_proof(w, proof)
+    w.points([c.point for c in commitments["read_write"]])
+    w.points([c.point for c in commitments["init_final"]])
+    return w.getvalue()
+
+
+def deserialize_jolt_proof_with_commitments(data: bytes):
+    from ..commitment.hyperkzg import HyperKZGCommitment
+    r = Reader(data)
+    proof = deserialize_jolt_proof(r)
+    rw = [HyperKZGCommitment(p) for p in r.points()]
+    inf = [HyperKZGCommitment(p) for p in r.points()]
+    assert r.buf.read() == b"", "trailing bytes"
+    return proof, {"read_write": rw, "init_final": inf}

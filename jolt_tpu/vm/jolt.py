@@ -20,6 +20,7 @@ from ..poly.opening_proof import (ProverOpeningAccumulator, ReducedOpeningProof,
                                   VerifierOpeningAccumulator)
 from ..transcript import Transcript
 from ..utils.math import log2_strict, next_power_of_two
+from ..utils.profiling import span
 from . import bytecode as bc
 from . import instruction_lookups as il
 from . import r1cs as r1cs_mod
@@ -128,6 +129,8 @@ class JoltVM:
         self._preamble(transcript, program_io, trace_length)
 
         # --- witness generation ---------------------------------------------
+        witness_span = span("witness_generation")
+        witness_span.__enter__()
         instr_idx = np.array([s.instruction_index for s in trace],
                              dtype=np.int64)
         xs = np.array([s.lookup_x for s in trace], dtype=np.uint64)
@@ -182,6 +185,7 @@ class JoltVM:
         flattened = self._flattened_polys(bc_polys, rwm_polys, il_polys,
                                           r1cs_polys)
         r1cs_mod.compute_aux(builder, flattened, T, spec)
+        witness_span.__exit__(None, None, None)
 
         # --- commitments ------------------------------------------------------
         pcs = pre.pcs
@@ -198,8 +202,9 @@ class JoltVM:
         if_polys = (bc_polys.init_final_values()
                     + rwm_polys.init_final_values()
                     + il_polys.init_final_values())
-        rw_commitments = pcs.batch_commit(rw_polys)
-        if_commitments = pcs.batch_commit(if_polys)
+        with span("JoltPolynomials::commit"):
+            rw_commitments = pcs.batch_commit(rw_polys)
+            if_commitments = pcs.batch_commit(if_polys)
 
         transcript.append_scalar(key.vk_digest)
         for com in rw_commitments + if_commitments:
@@ -208,26 +213,32 @@ class JoltVM:
         acc = ProverOpeningAccumulator(spec)
 
         # --- component proofs -------------------------------------------------
-        bc_mc = bc.BytecodeMemoryChecking(pre.bytecode)
-        bytecode_proof = bc_mc.prove_memory_checking(bc_polys, acc, transcript)
+        with span("BytecodeProof::prove_memory_checking"):
+            bc_mc = bc.BytecodeMemoryChecking(pre.bytecode)
+            bytecode_proof = bc_mc.prove_memory_checking(bc_polys, acc,
+                                                         transcript)
 
-        instruction_proof = il.prove_instruction_lookups(
-            pre.instruction_lookups, il_polys, acc, transcript)
+        with span("InstructionLookupsProof::prove"):
+            instruction_proof = il.prove_instruction_lookups(
+                pre.instruction_lookups, il_polys, acc, transcript)
 
-        mc_proof = rwm.prove_memory_checking(rwm_polys, bc_polys, transcript,
-                                             spec)
-        output_proof = rwm.prove_outputs(rwm_polys, program_io, acc,
-                                         transcript, spec)
-        ts_proof = ts.prove_timestamp_validity(ts_polys, rwm_polys, acc,
-                                               transcript, spec)
-        memory_proof = rwm.ReadWriteMemoryProof(mc_proof, output_proof,
-                                                ts_proof)
+        with span("ReadWriteMemoryProof::prove"):
+            mc_proof = rwm.prove_memory_checking(rwm_polys, bc_polys,
+                                                 transcript, spec)
+            output_proof = rwm.prove_outputs(rwm_polys, program_io, acc,
+                                             transcript, spec)
+            ts_proof = ts.prove_timestamp_validity(ts_polys, rwm_polys, acc,
+                                                   transcript, spec)
+            memory_proof = rwm.ReadWriteMemoryProof(mc_proof, output_proof,
+                                                    ts_proof)
 
-        spartan_proof = r1cs_mod.spartan_prove(builder, non_uniform, key,
-                                               flattened, T, acc, transcript,
-                                               spec)
+        with span("UniformSpartanProof::prove"):
+            spartan_proof = r1cs_mod.spartan_prove(builder, non_uniform, key,
+                                                   flattened, T, acc,
+                                                   transcript, spec)
 
-        opening_proof = acc.reduce_and_prove(pcs, transcript)
+        with span("reduce_and_prove"):
+            opening_proof = acc.reduce_and_prove(pcs, transcript)
 
         proof = JoltProof(trace_length, program_io, bytecode_proof,
                           memory_proof, instruction_proof, spartan_proof,

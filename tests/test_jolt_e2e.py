@@ -31,3 +31,33 @@ def test_fibonacci_e2e_mock():
 
     vm.verify(pre, proof, commitments, debug_transcript=prover_transcript,
               debug_accumulator=prover_acc)
+
+
+def test_fibonacci_e2e_hyperkzg_serialization_roundtrip():
+    """fib_e2e_hyperkzg analog + Serializable save/load parity
+    (rv32i_vm.rs:193-235): serialize proof+commitments, deserialize, verify."""
+    import pytest
+    pytest.importorskip("jax")
+    from jolt_tpu.commitment.hyperkzg import HyperKZG
+    from jolt_tpu.utils.serialization import (
+        deserialize_jolt_proof_with_commitments,
+        serialize_jolt_proof_with_commitments)
+
+    spec = fr_spec()
+    vm = mini_vm([AddInstruction, BneInstruction],
+                 [TruncateOverflowSubtable(32), IdentitySubtable(),
+                  EqSubtable()],
+                 M_mini=1 << 8, spec=spec)
+    program = fibonacci_program(3)
+    steps, device, bytecode_rows = trace_program(
+        program, vm, max_input_size=32, max_output_size=32)
+
+    pcs = HyperKZG.setup(1 << 8)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    proof, commitments, _, _ = vm.prove(device, steps, pre)
+
+    blob = serialize_jolt_proof_with_commitments(proof, commitments)
+    proof2, commitments2 = deserialize_jolt_proof_with_commitments(blob)
+    assert proof2.trace_length == proof.trace_length
+    assert bytes(proof2.program_io.outputs) == bytes(proof.program_io.outputs)
+    vm.verify(pre, proof2, commitments2)
