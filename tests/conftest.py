@@ -17,7 +17,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Default: local CPU with 8 virtual devices (sharding coverage, driver CI).
+# JOLT_TEST_PLATFORM=axon runs the suite on the real TPU instead — much
+# faster compiles/execution on a weak host, and it exercises the Pallas
+# kernel paths that production uses.
+jax.config.update("jax_platforms",
+                  os.environ.get("JOLT_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
