@@ -108,11 +108,76 @@ def hyperkzg_fixture(ell: int = 4, seed: int = 7) -> dict:
     }
 
 
+def spartan_fixture(n: int = 4) -> dict:
+    """A standalone uniform-Spartan proof over a real fibonacci trace
+    (autogenerate_r1cs.rs / SpartanVerifier.t.sol analog).
+
+    Captures the R1CS instance from a tiny fib prove, then re-proves the
+    Spartan part against a FRESH `test_transcript` so the Solidity
+    SpartanVerifier can replay it self-contained.  Cross-checked against
+    the Python spartan_verify before emission."""
+    from ..poly.opening_proof import ProverOpeningAccumulator
+    from ..vm import host as vm_host
+    from ..vm import r1cs as r1cs_mod
+    from ..vm.rv32i_vm import rv32i_vm
+    from ..vm.rv_trace import JoltDevice
+    from ..utils.math import log2_strict
+
+    spec = fr_spec()
+    vm = rv32i_vm(spec)
+    program = vm_host.fibonacci_program(n)
+    steps, device, bytecode_rows = vm_host.trace_program(program, vm)
+    from ..commitment import MockCommitmentScheme
+    pcs = MockCommitmentScheme(spec)
+    pre = vm.preprocess(bytecode_rows, pcs)
+
+    captured = {}
+    original = r1cs_mod.spartan_prove
+
+    def capture(builder, non_uniform, key, polys, T, acc, transcript, sp):
+        captured.update(builder=builder, non_uniform=non_uniform, key=key,
+                        polys=polys, T=T)
+        return original(builder, non_uniform, key, polys, T, acc,
+                        transcript, sp)
+
+    r1cs_mod.spartan_prove = capture
+    try:
+        vm.prove(device, steps, pre)
+    finally:
+        r1cs_mod.spartan_prove = original
+
+    t = Transcript(b"test_transcript")
+    acc = ProverOpeningAccumulator(spec)
+    proof = original(captured["builder"], captured["non_uniform"],
+                     captured["key"], captured["polys"], captured["T"],
+                     acc, t, spec)
+
+    # cross-check with the Python verifier (fresh transcript, no PCS)
+    from ..poly.opening_proof import VerifierOpeningAccumulator
+    vt = Transcript(b"test_transcript")
+    vt.compare_to(t)
+    r1cs_mod.spartan_verify(proof, captured["key"], None,
+                            VerifierOpeningAccumulator(pcs, spec), vt, spec)
+
+    sp = lambda cp: [hex(c.v) for c in cp.coeffs_except_linear_term]
+    return {
+        "steps_bits": log2_strict(captured["T"]),
+        "outer_sumcheck": [sp(p) for p in
+                           proof.outer_sumcheck_proof.compressed_polys],
+        "outer_claims": [hex(c.v) for c in proof.outer_sumcheck_claims],
+        "inner_sumcheck": [sp(p) for p in
+                           proof.inner_sumcheck_proof.compressed_polys],
+        "claimed_witness_evals": [hex(c.v)
+                                  for c in proof.claimed_witness_evals],
+    }
+
+
 def write_fixtures(out_dir: str) -> None:
     import os
     os.makedirs(out_dir, exist_ok=True)
     for name, fn in (("transcript", transcript_fixture),
                      ("grand_product", grand_product_fixture),
-                     ("hyperkzg", hyperkzg_fixture)):
+                     ("hyperkzg", hyperkzg_fixture),
+                     ("spartan", spartan_fixture)):
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(fn(), f, indent=1)

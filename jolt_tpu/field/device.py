@@ -86,6 +86,9 @@ def _parallel_carries() -> bool:
     if _os.environ.get("JOLT_TPU_FORCE_KS_CARRY"):
         return True
     try:
+        # NOTE: the axon plugin registers as "tpu" and ignores the
+        # JAX_PLATFORMS env var; use jax.config.update("jax_platforms",
+        # "cpu") (before backend init) to actually force CPU.
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False

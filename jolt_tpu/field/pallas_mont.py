@@ -100,20 +100,13 @@ def _cond_sub_p(x, p_limbs):
     return jnp.where(borrow == 0, diff, x)
 
 
-def _mont_mul_kernel(a_ref, b_ref, coll_ref, np_ref, p_ref, out_ref):
+def _mont_mul_kernel(a_ref, b_ref, coll_ref, mnp_ref, mp_ref, p_ref, out_ref):
     a = a_ref[:]
     b = b_ref[:]
-    coll = coll_ref[:]
     nb = a.shape[-1]
-    np_l = jnp.broadcast_to(np_ref[:].reshape(L, 1), (L, nb))
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, nb))
-
-    t = _carry_ks(_products_cols(a, b, coll))             # [2L+1, NB]
-    m = _carry_ks(_products_cols(t[:L], np_l, coll))[:L]
-    u = _products_cols(m, p_l, coll)
-    s = _carry_ks(u + t)                                  # exact T + m*p
-    hi = s[L:2 * L]                                       # / R
-    out_ref[:] = _cond_sub_p(hi, p_l)
+    t = _carry_ks(_products_cols(a, b, coll_ref[:]))      # [2L+1, NB]
+    out_ref[:] = _redc8_k(t, mnp_ref[:], mp_ref[:], p_l)
 
 
 @functools.lru_cache(maxsize=None)
@@ -132,14 +125,15 @@ def _mont_mul_call(spec: FieldSpec, n: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * L + 1, L * L * 2), full,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * L, 2 * L), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * L, 2 * L), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((L, NB), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * (2 * L + 1) * (L * L * 2) * n,
+            flops=2 * (2 * L + 1) * (L * L * 2) * n,
             bytes_accessed=3 * L * n * 4,
             transcendentals=0,
         ),
@@ -148,11 +142,14 @@ def _mont_mul_call(spec: FieldSpec, n: int):
 
 @functools.lru_cache(maxsize=None)
 def _consts(spec: FieldSpec):
-    coll = jnp.asarray(_collector_T(L))
-    nprime = jnp.asarray(np.asarray(spec.nprime_limbs, np.uint32)
-                         .reshape(L, 1))
-    p_limbs = jnp.asarray(np.asarray(spec.p_limbs, np.uint32).reshape(L, 1))
-    return coll, nprime, p_limbs
+    """HOST numpy constants — jnp arrays created here would become tracers
+    of whatever transformation first calls this (and the lru_cache would
+    leak them into later traces).  Returns (collector, M_N', M_p, p_limbs)."""
+    from .spec import redc_matrices
+    coll = _collector_T(L)
+    mnp, mp = redc_matrices(spec)
+    p_limbs = np.asarray(spec.p_limbs, np.uint32).reshape(L, 1)
+    return coll, mnp, mp, p_limbs
 
 
 def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
@@ -172,8 +169,8 @@ def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
         pad = jnp.zeros((L, n - batch), dtype=jnp.uint32)
         af = jnp.concatenate([af, pad], axis=1)
         bf = jnp.concatenate([bf, pad], axis=1)
-    coll, nprime, p_limbs = _consts(spec)
-    out = _mont_mul_call(spec, n)(af, bf, coll, nprime, p_limbs)
+    coll, mnp, mp, p_limbs = _consts(spec)
+    out = _mont_mul_call(spec, n)(af, bf, coll, mnp, mp, p_limbs)
     return out[:, :batch].reshape(shape)
 
 
@@ -201,13 +198,87 @@ def _fsub_k(a, b, p_l):
     return jnp.where(borrow == 0, d, dp)
 
 
-def _mul_k(a, b, coll, p_l, np_l):
-    """Full in-kernel Montgomery multiply of [L, n] blocks."""
-    t = _carry_ks(_products_cols(a, b, coll))
-    m = _carry_ks(_products_cols(t[:L], np_l, coll))[:L]
-    u = _products_cols(m, p_l, coll)
-    s = _carry_ks(u + t)
+# ---------------------------------------------------------------------------
+# 8-bit constant-matrix multiplies: ONE bf16 MXU pass, exactly
+# ---------------------------------------------------------------------------
+#
+# Multiplying by a value known per kernel launch (the REDC constants N' and
+# p, Fiat-Shamir challenges, batching coefficients) is a LINEAR map of the
+# other operand, so it compiles to a tiny [rows<=64, 32] x [32, n] matmul
+# instead of the [2L+1, 512] x [512, n] collector product.  Operating on
+# 8-BIT chunks keeps every matrix entry and input < 2^8 (bf16-exact) and
+# every f32-accumulated column < 2^21 (f32-exact), so a single
+# Precision.DEFAULT pass is bit-exact — 6x fewer MXU passes AND 16x fewer
+# MACs than the general path.  Matrix rows are ordered [even-weight chunks;
+# odd-weight chunks] so recombining to 16-bit limbs is a contiguous
+# half-split (no sublane shuffles).
+
+C8 = 2 * L               # 32 8-bit chunks per 256-bit value
+
+
+def _split8_f(x):
+    """[K, n] u32 16-bit limbs -> [2K, n] f32 8-bit chunks (lo/hi
+    interleaved: chunk 2k = limb k low byte, 2k+1 = high byte)."""
+    k, n = x.shape
+    lo = (x & 0xFF).astype(jnp.int32).astype(jnp.float32)
+    hi = ((x >> 8) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+    return jnp.concatenate(
+        [lo[:, None, :], hi[:, None, :]], axis=1).reshape(2 * k, n)
+
+
+def _dot8(M, x8):
+    """Single-pass bf16 matmul of 8-bit-exact operands -> exact u32 cols."""
+    out = jax.lax.dot_general(
+        M.astype(jnp.bfloat16), x8.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32).astype(jnp.uint32)
+
+
+def _fold16(cols):
+    """[2K, n] (even-rows ++ odd-rows) 8-bit-weighted columns ->
+    [K, n] 16-bit-weighted values (< 2^30)."""
+    k2 = cols.shape[0]
+    return cols[: k2 // 2] + (cols[k2 // 2:] << 8)
+
+
+def _carry_wide(t):
+    """Carry 16-bit-weighted values < 2^30 to canonical limbs (one
+    pre-fold brings columns under 2^17, then the log-depth lookahead)."""
+    s = (t & 0xFFFF) + jnp.concatenate(
+        [jnp.zeros_like(t[:1]), (t >> 16)[:-1]], axis=0)
+    return _carry_ks(s)
+
+
+def _redc8_k(t, mnp, mp, p_l):
+    """Montgomery REDC of carried t [2L+1, n] via constant-matrix muls.
+
+    m = (t mod R)*N' mod R, then (t + m*p)/R with conditional subtract —
+    bit-identical to the schoolbook REDC, ~12x fewer MXU tile-passes."""
+    n = t.shape[-1]
+    t_lo = t[:L]
+    m = _carry_wide(_fold16(_dot8(mnp, _split8_f(t_lo))))        # [L, n] mod R
+    u = _fold16(_dot8(mp, _split8_f(m)))                         # [2L, n] < 2^30
+    u33 = jnp.concatenate([u, jnp.zeros((1, n), jnp.uint32)], axis=0)
+    s = _carry_wide(u33 + t)                                     # exact T + m*p
     return _cond_sub_p(s[L:2 * L], p_l)
+
+
+def _mul_k(a, b, coll, p_l, mnp, mp):
+    """Full in-kernel Montgomery multiply of [L, n] blocks: general
+    schoolbook product + constant-matrix REDC."""
+    t = _carry_ks(_products_cols(a, b, coll))
+    return _redc8_k(t, mnp, mp, p_l)
+
+
+def _mul_scalar_k(mc, x, p_l, mnp, mp):
+    """Montgomery multiply by a launch-constant scalar c, given as its
+    [2L, 2L] conv matrix (see scalar_mul_matrix): three tiny single-pass
+    matmuls total — ~12x cheaper than the general product."""
+    t = _carry_wide(_fold16(_dot8(mc, _split8_f(x))))            # [2L, n]
+    t33 = jnp.concatenate(
+        [t, jnp.zeros((1, x.shape[-1]), jnp.uint32)], axis=0)
+    return _redc8_k(t33, mnp, mp, p_l)
 
 
 def _mod_reduce_lanes(u, p_l_col):
@@ -221,42 +292,102 @@ def _mod_reduce_lanes(u, p_l_col):
 
 
 # ---------------------------------------------------------------------------
-# fused batched-GKR grand-product round kernels
+# batch-leading Montgomery multiply (grand-product tree levels)
 # ---------------------------------------------------------------------------
 
-def _gp_evals_kernel(l0_ref, r0_ref, l1_ref, r1_ref, eq0_ref, eq1_ref,
-                     coeffs_ref, coll_ref, np_ref, p_ref, out_ref):
-    """Cubic round-poly partial sums at t = 0, 2, 3 for one quad block.
+def _mont_mul_bl_kernel(a_ref, b_ref, coll_ref, mnp_ref, mp_ref, p_ref,
+                        out_ref):
+    n = a_ref.shape[-1]
+    p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, n))
+    out = _mul_k(a_ref[:].reshape(L, n), b_ref[:].reshape(L, n),
+                 coll_ref[:], p_l, mnp_ref[:], mp_ref[:])
+    out_ref[:] = out.reshape(1, L, n)
 
-    l*/r*: [B, L, mb] (batch LEADING, untiled, so dynamic indexing needs no
-    tile alignment); eq*: [L, mb]; coeffs: [B, L]; out: [1, L, 3]
-    (summed over batch AND the block's quads — grand_product.rs:335-396
-    semantics, coefficient folded into `left`)."""
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_bl_call(spec: FieldSpec, B: int, n: int):
+    full = lambda b, i: (0, 0)
+    blk = pl.BlockSpec((1, L, NB), lambda b, i: (b, 0, i),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mont_mul_bl_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, L, n), jnp.uint32),
+        grid_spec=pl.GridSpec(
+            grid=(B, n // NB),
+            in_specs=[blk, blk,
+                      pl.BlockSpec((2 * L + 1, L * L * 2), full,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((2 * L, 2 * L), full,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((4 * L, 2 * L), full,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM)],
+            out_specs=blk,
+        ),
+    )
+
+
+def mont_mul_bl_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Montgomery product of batch-leading [B, L, n] limb tensors
+    (n a multiple of NB)."""
+    B, _, n = a.shape
+    coll, mnp, mp, p_limbs = _consts(spec)
+    return _mont_mul_bl_call(spec, B, n)(a, b, coll, mnp, mp, p_limbs)
+
+
+# ---------------------------------------------------------------------------
+# fused batched-GKR grand-product round kernels (bit-reversed pair layout)
+# ---------------------------------------------------------------------------
+#
+# A GP layer is a PAIR of batch-leading tensors l, r: [B, L, s] holding the
+# left/right polynomials in bit-reversed evaluation order, so the per-round
+# sibling pairs (2i, 2i+1) sit at positions (i, i + s/2): every slice below
+# is a CONTIGUOUS half selected purely by BlockSpec index maps — no strided
+# de-interleaving, no moveaxis, no HBM prep copies at all.  Grid is
+# (nblocks, B) with the batch dim innermost: the per-block partial sums
+# accumulate in VMEM scratch across the b sweep and the eq-weighted
+# reduction runs once at b == B-1 (mod-p addition is order-independent, so
+# results stay bit-identical to the XLA path).
+
+GP_MB = 512              # pairs per block
+
+
+def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
+                          cmats_ref, coll_ref, mnp_ref, mp_ref, p_ref,
+                          out_ref):
+    """Cubic round-poly partial sums at t = 0, 2, 3 for one half-block.
+
+    l*/r*: [B, L, mb] blocks cut from the lo/hi halves of the pair tensors
+    purely by BlockSpec index maps; eq*: [L, mb]; cmats: [B, 4L, 2L] conv
+    matrices of the batching coefficients (scalar-mul fast path);
+    out: [1, L, 3] (summed over batch AND the block's pairs —
+    grand_product.rs:335-396 semantics, coefficient folded into `left`).
+    The fori_loop over the batch keeps the partial sums in registers and
+    compiles the mul body ONCE."""
     B = l0_ref.shape[0]
     mb = l0_ref.shape[2]
     coll = coll_ref[:]
+    mnp = mnp_ref[:]
+    mp = mp_ref[:]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
-    np_l = jnp.broadcast_to(np_ref[:].reshape(L, 1), (L, mb))
-    # fori_loop over the batch: the body (9 Montgomery muls) compiles ONCE —
-    # unrolling B copies explodes Mosaic compile time.  Dynamic indexing
-    # happens on the refs (VMEM loads), not on loaded values.
+
     def body(b, acc):
         s0, s2, s3 = acc
         sl = lambda ref: ref[pl.ds(b, 1), :, :].reshape(L, mb)
-        l0, r0, l1, r1 = sl(l0_ref), sl(r0_ref), sl(l1_ref), sl(r1_ref)
-        c = jnp.broadcast_to(
-            coeffs_ref[pl.ds(b, 1), :].reshape(L, 1), (L, mb))
-        cl0 = _mul_k(c, l0, coll, p_l, np_l)
-        cl1 = _mul_k(c, l1, coll, p_l, np_l)
+        l0, l1, r0, r1 = sl(l0_ref), sl(l1_ref), sl(r0_ref), sl(r1_ref)
+        mc = cmats_ref[pl.ds(b, 1), :, :].reshape(4 * L, 2 * L)
+        cl0 = _mul_scalar_k(mc, l0, p_l, mnp, mp)
+        cl1 = _mul_scalar_k(mc, l1, p_l, mnp, mp)
         m_l = _fsub_k(cl1, cl0, p_l)
         m_r = _fsub_k(r1, r0, p_l)
         le2 = _fadd_k(cl1, m_l, p_l)
         le3 = _fadd_k(le2, m_l, p_l)
         re2 = _fadd_k(r1, m_r, p_l)
         re3 = _fadd_k(re2, m_r, p_l)
-        t0 = _mul_k(cl0, r0, coll, p_l, np_l)
-        t2 = _mul_k(le2, re2, coll, p_l, np_l)
-        t3 = _mul_k(le3, re3, coll, p_l, np_l)
+        t0 = _mul_k(cl0, r0, coll, p_l, mnp, mp)
+        t2 = _mul_k(le2, re2, coll, p_l, mnp, mp)
+        t3 = _mul_k(le3, re3, coll, p_l, mnp, mp)
         return (_fadd_k(s0, t0, p_l), _fadd_k(s2, t2, p_l),
                 _fadd_k(s3, t3, p_l))
 
@@ -268,33 +399,35 @@ def _gp_evals_kernel(l0_ref, r0_ref, l1_ref, r1_ref, eq0_ref, eq1_ref,
     m_eq = _fsub_k(eq1, eq0, p_l)
     eqe2 = _fadd_k(eq1, m_eq, p_l)
     eqe3 = _fadd_k(eqe2, m_eq, p_l)
-    u0 = _mul_k(eq0, s0, coll, p_l, np_l)
-    u2 = _mul_k(eqe2, s2, coll, p_l, np_l)
-    u3 = _mul_k(eqe3, s3, coll, p_l, np_l)
+    u0 = _mul_k(eq0, s0, coll, p_l, mnp, mp)
+    u2 = _mul_k(eqe2, s2, coll, p_l, mnp, mp)
+    u3 = _mul_k(eqe3, s3, coll, p_l, mnp, mp)
     e0 = _mod_reduce_lanes(u0, p_l)
     e2 = _mod_reduce_lanes(u2, p_l)
     e3 = _mod_reduce_lanes(u3, p_l)
     out_ref[:] = jnp.concatenate([e0, e2, e3], axis=-1).reshape(1, L, 3)
 
 
-def _gp_bind_kernel(l0_ref, r0_ref, l1_ref, r1_ref, eq0_ref, eq1_ref,
-                    r_ref, coll_ref, np_ref, p_ref,
-                    nl_ref, nr_ref, neq_ref):
-    """Bottom-variable bind: new = lo + r*(hi - lo), batch + eq fused."""
+def _gp_pair_bind_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
+                         rmat_ref, mnp_ref, mp_ref, p_ref,
+                         nl_ref, nr_ref, neq_ref):
+    """Bind: new = lo + r*(hi - lo) on contiguous halves; outputs ARE the
+    next round's layer pair.  All three muls are by the round challenge —
+    pure scalar-matrix fast path, no collector product at all."""
     B = l0_ref.shape[0]
     mb = l0_ref.shape[2]
-    coll = coll_ref[:]
+    mr = rmat_ref[:]
+    mnp = mnp_ref[:]
+    mp = mp_ref[:]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
-    np_l = jnp.broadcast_to(np_ref[:].reshape(L, 1), (L, mb))
-    r = jnp.broadcast_to(r_ref[:].reshape(L, 1), (L, mb))
 
     def body(b, _):
         sl = lambda ref: ref[pl.ds(b, 1), :, :].reshape(L, mb)
         l0, l1, r0, r1 = sl(l0_ref), sl(l1_ref), sl(r0_ref), sl(r1_ref)
         nl = _fadd_k(
-            l0, _mul_k(r, _fsub_k(l1, l0, p_l), coll, p_l, np_l), p_l)
+            l0, _mul_scalar_k(mr, _fsub_k(l1, l0, p_l), p_l, mnp, mp), p_l)
         nr = _fadd_k(
-            r0, _mul_k(r, _fsub_k(r1, r0, p_l), coll, p_l, np_l), p_l)
+            r0, _mul_scalar_k(mr, _fsub_k(r1, r0, p_l), p_l, mnp, mp), p_l)
         nl_ref[pl.ds(b, 1), :, :] = nl.reshape(1, L, mb)
         nr_ref[pl.ds(b, 1), :, :] = nr.reshape(1, L, mb)
         return 0
@@ -303,91 +436,125 @@ def _gp_bind_kernel(l0_ref, r0_ref, l1_ref, r1_ref, eq0_ref, eq1_ref,
     eq0 = eq0_ref[:]
     eq1 = eq1_ref[:]
     neq_ref[:] = _fadd_k(
-        eq0, _mul_k(r, _fsub_k(eq1, eq0, p_l), coll, p_l, np_l), p_l)
+        eq0, _mul_scalar_k(mr, _fsub_k(eq1, eq0, p_l), p_l, mnp, mp), p_l)
 
 
-GP_MB = 512              # quads per block
+def _pair_specs(B: int, h: int):
+    """BlockSpecs addressing the lo/hi halves of [B, L, 2h] pair tensors and
+    the [L, 2h] eq tensor via index-map offsets (h in whole GP_MB blocks)."""
+    hb = h // GP_MB
+    lo = pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
+                      memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, hb + i),
+                      memory_space=pltpu.VMEM)
+    eqlo = pl.BlockSpec((L, GP_MB), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    eqhi = pl.BlockSpec((L, GP_MB), lambda i: (0, hb + i),
+                        memory_space=pltpu.VMEM)
+    consts = [
+        pl.BlockSpec((2 * L + 1, L * L * 2), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return lo, hi, eqlo, eqhi, consts
 
 
 @functools.lru_cache(maxsize=None)
-def _gp_evals_call(spec: FieldSpec, B: int, m: int):
-    nblocks = m // GP_MB
-    full = lambda i: (0, 0)
-    big = pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
-                       memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((L, GP_MB), lambda i: (0, i), memory_space=pltpu.VMEM)
+def _gp_pair_evals_call(spec: FieldSpec, B: int, s: int):
+    h = s // 2
+    nblocks = h // GP_MB
+    lo, hi, eqlo, eqhi, consts = _pair_specs(B, h)
+    cmats = pl.BlockSpec((B, 4 * L, 2 * L), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _gp_evals_kernel,
+        _gp_pair_evals_kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks, L, 3), jnp.uint32),
-        grid_spec=pl.GridSpec(
-            grid=(nblocks,),
-            in_specs=[big, big, big, big, vec, vec,
-                      pl.BlockSpec((B, L), full, memory_space=pltpu.VMEM),
-                      pl.BlockSpec((2 * L + 1, L * L * 2), full,
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM),
-                      pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, L, 3), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
+        grid=(nblocks,),
+        in_specs=[lo, hi, lo, hi, eqlo, eqhi, cmats] + consts,
+        out_specs=pl.BlockSpec((1, L, 3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _gp_bind_call(spec: FieldSpec, B: int, m: int):
-    nblocks = m // GP_MB
-    full = lambda i: (0, 0)
-    big = pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
-                       memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((L, GP_MB), lambda i: (0, i), memory_space=pltpu.VMEM)
+def _gp_pair_bind_call(spec: FieldSpec, B: int, s: int):
+    h = s // 2
+    nblocks = h // GP_MB
+    lo, hi, eqlo, eqhi, consts = _pair_specs(B, h)
+    rmat = pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _gp_bind_kernel,
-        out_shape=(jax.ShapeDtypeStruct((B, L, m), jnp.uint32),
-                   jax.ShapeDtypeStruct((B, L, m), jnp.uint32),
-                   jax.ShapeDtypeStruct((L, m), jnp.uint32)),
-        grid_spec=pl.GridSpec(
-            grid=(nblocks,),
-            in_specs=[big, big, big, big, vec, vec,
-                      pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM),
-                      pl.BlockSpec((2 * L + 1, L * L * 2), full,
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM),
-                      pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM)],
-            out_specs=(big, big, vec),
-        ),
+        _gp_pair_bind_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, L, h), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, L, h), jnp.uint32),
+                   jax.ShapeDtypeStruct((L, h), jnp.uint32)),
+        grid=(nblocks,),
+        in_specs=[lo, hi, lo, hi, eqlo, eqhi, rmat] + consts[1:],
+        out_specs=(pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((L, GP_MB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
     )
 
 
-def gp_cubic_evals_pallas(spec: FieldSpec, layer: jnp.ndarray,
-                          eq: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
-    """Fused cubic round evals at t=0,2,3 -> [L, 3] (bit-identical to the
-    XLA _gp_cubic_evals)."""
+@functools.lru_cache(maxsize=1)
+def _conv_index():
+    """Host (idx, valid) for on-device conv-matrix builds, rows reordered
+    [evens ++ odds] to match _fold16."""
+    k = np.arange(4 * L)[:, None]
+    n = np.arange(2 * L)[None, :]
+    idx = k - n
+    valid = (idx >= 0) & (idx < 2 * L)
+    perm = np.concatenate([np.arange(0, 4 * L, 2), np.arange(1, 4 * L, 2)])
+    return np.clip(idx, 0, 2 * L - 1)[perm], valid[perm]
+
+
+def scalar_conv_mats(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Device build of the [*, 4L, 2L] f32 conv matrices of Montgomery
+    scalars given as [L, *batch] 16-bit limb tensors (tiny gather — lets
+    challenges computed ON DEVICE feed the scalar-mul fast path)."""
+    batch = limbs.shape[1:]
+    lo = limbs & 0xFF
+    hi = (limbs >> 8) & 0xFF
+    c8 = jnp.concatenate([lo[:, None], hi[:, None]], axis=1).reshape(
+        (2 * L,) + batch)                                  # [2L, *batch]
+    idx, valid = _conv_index()
+    g = c8[jnp.asarray(idx)]                               # [4L, 2L, *batch]
+    g = jnp.where(jnp.asarray(valid).reshape(valid.shape + (1,) * len(batch)),
+                  g, 0)
+    g = jnp.moveaxis(g.astype(jnp.float32), (0, 1), (-2, -1))  # [*batch, 4L, 2L]
+    return g
+
+
+def gp_pair_evals_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
+                         eq: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Fused cubic round evals at t=0,2,3 over bit-reversed pair layers.
+
+    l, r: [B, L, s]; eq: [L, s]; coeffs: [L, B] Montgomery limbs (turned
+    into scalar-mul conv matrices on device).  Returns [L, 3]
+    (bit-identical to the XLA pair path)."""
     from . import device as fd
-    B = layer.shape[1]
-    m = layer.shape[-1] // 4
-    bf = lambda t: jnp.moveaxis(t, 1, 0)      # [L,B,m] -> [B,L,m]
-    l0, r0 = bf(layer[..., 0::4]), bf(layer[..., 1::4])
-    l1, r1 = bf(layer[..., 2::4]), bf(layer[..., 3::4])
-    eq0, eq1 = eq[..., 0::2], eq[..., 1::2]
-    coll, nprime, p_limbs = _consts(spec)
-    partials = _gp_evals_call(spec, B, m)(
-        l0, r0, l1, r1, eq0, eq1, coeffs.T, coll, nprime, p_limbs)
+    B, _, s = l.shape
+    coll, mnp, mp, p_limbs = _consts(spec)
+    cmats = scalar_conv_mats(coeffs)                       # [B, 4L, 2L]
+    partials = _gp_pair_evals_call(spec, B, s)(
+        l, l, r, r, eq, eq, cmats, coll, mnp, mp, p_limbs)
     return fd.fsum(spec, jnp.moveaxis(partials, 0, -1), axis=-1)  # [L, 3]
 
 
-def gp_bind_pallas(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
-                   r: jnp.ndarray):
-    """Fused bottom bind; returns (new interleaved layer [L,B,2m], new eq)."""
-    B = layer.shape[1]
-    m = layer.shape[-1] // 4
-    bf = lambda t: jnp.moveaxis(t, 1, 0)      # [L,B,m] -> [B,L,m]
-    l0, r0 = bf(layer[..., 0::4]), bf(layer[..., 1::4])
-    l1, r1 = bf(layer[..., 2::4]), bf(layer[..., 3::4])
-    eq0, eq1 = eq[..., 0::2], eq[..., 1::2]
-    coll, nprime, p_limbs = _consts(spec)
-    nl, nr, neq = _gp_bind_call(spec, B, m)(
-        l0, r0, l1, r1, eq0, eq1, r.reshape(L, 1), coll, nprime, p_limbs)
-    nl, nr = jnp.moveaxis(nl, 0, 1), jnp.moveaxis(nr, 0, 1)
-    new_layer = jnp.stack([nl, nr], axis=-1).reshape(layer.shape[:-1]
-                                                     + (2 * m,))
-    return new_layer, neq
+def gp_pair_bind_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
+                        eq: jnp.ndarray, r_chal: jnp.ndarray):
+    """Fused bind of bit-reversed pair layers: returns (nl, nr, neq) with
+    nl, nr: [B, L, s/2] — directly the next round's layer pair.  r_chal:
+    [L] Montgomery limb vector of the round challenge."""
+    B, _, s = l.shape
+    coll, mnp, mp, p_limbs = _consts(spec)
+    r_mat = scalar_conv_mats(r_chal.reshape(L, 1))[0]      # [4L, 2L]
+    return _gp_pair_bind_call(spec, B, s)(
+        l, l, r, r, eq, eq, r_mat, mnp, mp, p_limbs)

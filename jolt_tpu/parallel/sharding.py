@@ -1,15 +1,17 @@
 """Multi-chip sharding of the prover hot loops.
 
-The reference is single-process rayon (SURVEY §2.8); the scaling axis here is
-the 2^n sumcheck hypercube.  Strategy: shard the hypercube axis (low-order
-index blocks) of the stacked polynomial tensors across a 1-D mesh. Each GKR
-round:
-  * every shard computes its local cubic-eval partial sums (pure local work —
-    quads never straddle shard boundaries since shards are multiples of 4)
-  * partial round-poly evaluations (tiny [L, 3] tensors) are all-gathered and
-    modularly folded — NOT psum'd, because modular addition of limb tensors
-    is not plain u32 addition
-  * binding is shard-local (each 4-quad maps to a local 2-pair)
+The reference is single-process rayon (SURVEY §2.8).  Two scaling axes:
+
+* **Grand products / sumchecks**: the BATCH axis.  A Jolt memory-checking
+  grand product batches ~50-100 independent circuits; each chip owns a
+  subset, so binds are purely local and only the tiny [L, 3] round-poly
+  partial sums cross chips (all-gathered and modularly folded — NOT psum'd,
+  because modular addition of limb tensors is not plain u32 addition).
+  The bit-reversed pair layout (subprotocols/grand_product.py) is
+  shard-oblivious along the batch axis.
+* **MSM**: the point/scalar axis — per-shard sort/bucket windows, tiny
+  cross-shard Jacobian tree-fold.
+
 The transcript work stays on host, replicated.
 """
 from __future__ import annotations
@@ -24,7 +26,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..field import FieldSpec, fr_spec
 from ..field import device as fd
-from ..subprotocols.grand_product import _gp_cubic_evals, _gp_bind
+from ..subprotocols.grand_product import _pair_cubic_evals, _pair_bind
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "hc") -> Mesh:
@@ -38,55 +40,62 @@ def shard_hypercube(mesh: Mesh, arr: jnp.ndarray, axis: str = "hc") -> jnp.ndarr
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def sharded_gp_round(mesh: Mesh, spec: FieldSpec, layer: jnp.ndarray,
-                     eq: jnp.ndarray, coeffs: jnp.ndarray, r: jnp.ndarray,
-                     axis: str = "hc"):
-    """One full sharded GKR round: cubic evals (global) + bind (local).
+def shard_batch(mesh: Mesh, arr: jnp.ndarray, axis: str = "hc") -> jnp.ndarray:
+    """Place a batch-leading [B, L, s] pair tensor with B sharded."""
+    spec = P(*([axis] + [None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
 
-    layer: [L, B, 4m] sharded on the last axis; eq: [L, 2m] sharded;
-    coeffs: [L, B] replicated; r: [L] replicated (the round challenge —
-    in the real protocol it depends on the evals via the transcript; the
-    dryrun feeds a dummy to exercise the full dataflow in one step).
-    Returns (evals [L, 3] replicated, bound layer, bound eq, both sharded).
+
+def sharded_gp_round(mesh: Mesh, spec: FieldSpec, l: jnp.ndarray,
+                     r: jnp.ndarray, eq: jnp.ndarray, coeffs: jnp.ndarray,
+                     r_chal: jnp.ndarray, axis: str = "hc"):
+    """One full sharded GKR round over bit-reversed pair layers.
+
+    l, r: [B, L, s] sharded on the batch axis; eq: [L, s] replicated;
+    coeffs: [L, B] sharded on B; r_chal: [L] replicated (the round
+    challenge — in the real protocol it depends on the evals via the
+    transcript; the dryrun feeds a dummy to exercise the dataflow in one
+    step).  Returns (evals [L, 3] replicated, bound l/r sharded, bound eq
+    replicated).
     """
-    def step(layer_s, eq_s, coeffs_s, r_s):
-        local = _gp_cubic_evals(spec, layer_s, eq_s, coeffs_s)   # [L, 3]
-        gathered = jax.lax.all_gather(local, axis)               # [D, L, 3]
+    def step(l_s, r_s, eq_s, coeffs_s, rc):
+        local = _pair_cubic_evals(spec, l_s, r_s, eq_s, coeffs_s)  # [L, 3]
+        gathered = jax.lax.all_gather(local, axis)                 # [D, L, 3]
         evals = fd.fsum(spec, jnp.moveaxis(gathered, 0, -1), axis=-1)
-        new_layer, new_eq = _gp_bind(spec, layer_s, eq_s, r_s)
-        return evals, new_layer, new_eq
+        nl, nr, neq = _pair_bind(spec, l_s, r_s, eq_s, rc)
+        return evals, nl, nr, neq
 
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P(None, None, axis), P(None, axis), P(None, None), P(None)),
-        out_specs=(P(None, None), P(None, None, axis), P(None, axis)),
+        in_specs=(P(axis, None, None), P(axis, None, None), P(None, None),
+                  P(None, axis), P(None)),
+        out_specs=(P(None, None), P(axis, None, None), P(axis, None, None),
+                   P(None, None)),
         check_rep=False)
-    return jax.jit(fn)(layer, eq, coeffs, r)
+    return jax.jit(fn)(l, r, eq, coeffs, r_chal)
 
 
 # ---------------------------------------------------------------------------
 # jit-propagated sharding: shard the leaves once, let XLA insert collectives
 # ---------------------------------------------------------------------------
 
-def maybe_shard(mesh: Mesh, arr: jnp.ndarray, axis: str = "hc",
-                min_per_device: int = 4) -> jnp.ndarray:
-    """Shard the hypercube axis if each device keeps >= min_per_device
-    whole quads; otherwise replicate (small GKR tail layers live on every
-    chip — they are tiny)."""
+def maybe_shard_pair(mesh: Mesh, pair: tuple, axis: str = "hc") -> tuple:
+    """Shard a (l, r) pair layer on the batch axis when it divides the
+    mesh; otherwise replicate (the tensors are identical on every chip)."""
     n_dev = mesh.devices.size
-    n = arr.shape[-1]
-    if n % n_dev == 0 and n // n_dev >= min_per_device:
-        return shard_hypercube(mesh, arr, axis)
-    return jax.device_put(arr, NamedSharding(mesh, P(*([None] * arr.ndim))))
+    l, r = pair
+    if l.shape[0] % n_dev == 0:
+        return shard_batch(mesh, l, axis), shard_batch(mesh, r, axis)
+    repl = NamedSharding(mesh, P(*([None] * l.ndim)))
+    return jax.device_put(l, repl), jax.device_put(r, repl)
 
 
-def shard_gp_layers(mesh: Mesh, layers: list[jnp.ndarray],
-                    axis: str = "hc") -> list[jnp.ndarray]:
-    """Place a dense GP's product-tree levels: big layers sharded on the
-    hypercube axis, small tail layers replicated.  All downstream round
+def shard_gp_pair_layers(mesh: Mesh, layers: list[tuple],
+                         axis: str = "hc") -> list[tuple]:
+    """Place a dense GP's pair layers batch-sharded.  All downstream round
     kernels are ordinary jits — XLA partitions the local work and inserts
     the cross-chip reductions for the [L, 3] round evaluations."""
-    return [maybe_shard(mesh, l, axis) for l in layers]
+    return [maybe_shard_pair(mesh, pair, axis) for pair in layers]
 
 
 # ---------------------------------------------------------------------------

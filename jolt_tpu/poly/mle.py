@@ -64,6 +64,36 @@ def eq_evals_device(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return table
 
 
+def eq_evals_device_br(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """eq(r, x) table in BIT-REVERSED index order: out[p] = eq_evals[rev(p)].
+
+    Same doubling DP as eq_evals_device but each new variable extends the
+    table by concatenation (becomes the new most-significant POSITION bit)
+    instead of interleaving.  Used by the grand-product prover, whose layers
+    are stored bit-reversed so that every bind is a contiguous half-split
+    (sums are order-independent mod p, so transcripts are unchanged).
+    """
+    table = fd.ones(spec, (1,))
+    for rj in r:
+        rb = jnp.broadcast_to(rj[:, None], table.shape)
+        hi = fd.fmul(spec, table, rb)
+        lo = fd.fsub(spec, table, hi)
+        table = jnp.concatenate([lo, hi], axis=-1)
+    return table
+
+
+def bitrev_indices(n: int) -> np.ndarray:
+    """Permutation p with p[pos] = bit-reverse(pos) over log2(n) bits."""
+    k = n.bit_length() - 1
+    assert 1 << k == n, "power of two required"
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for _ in range(k):
+        out = (out << 1) | (idx & 1)
+        idx >>= 1
+    return out
+
+
 def evaluate_device(spec: FieldSpec, z: jnp.ndarray, eq_table: jnp.ndarray) -> jnp.ndarray:
     """<Z, eq(r, .)> -> limb vector [L] (dense_mlpoly.rs:238-253)."""
     prods = fd.fmul(spec, z, jnp.broadcast_to(

@@ -7,14 +7,20 @@ least-significant-variable binding (297-396), claim folding with a per-layer
 challenge (199-251), and verification that replays eq(r_gp, rev(r_sumcheck))
 (122-182).
 
-TPU-native shape: a batch of B circuits over 2^k leaves is ONE limb tensor
-[NUM_LIMBS, B, 2^k]; every tree level is a single fused pairwise-product
-kernel; every sumcheck round is one fused kernel producing the cubic's
-evaluations at t = 0, 2, 3 (t = 1 comes from the previous claim, as in the
-reference).
+TPU-native shape: a layer is a PAIR of batch-leading limb tensors
+(l, r): uint32[B, NUM_LIMBS, s] holding the left/right polynomials in
+BIT-REVERSED evaluation order.  Bit-reversal turns every per-round access
+pattern into a contiguous half-split — the round's sibling pairs (2i, 2i+1)
+sit at positions (i, i + s/2) — so the cubic-evals and bind kernels read
+quarters straight out of HBM via Pallas BlockSpec index maps with zero
+de-interleaving shuffles, and the bind OUTPUTS are directly the next
+round's layer pair.  Field sums are order-independent mod p, so round
+polynomials, claims, and every transcript byte are identical to the
+reference's interleaved order.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Sequence
@@ -24,7 +30,7 @@ import jax.numpy as jnp
 
 from ..field import FElt, FieldSpec, fr_spec
 from ..field import device as fd
-from ..poly.mle import bind_bot, eq_evals_device
+from ..poly.mle import bitrev_indices, eq_evals_device_br
 from ..poly.unipoly import CompressedUniPoly, UniPoly
 from ..transcript import Transcript
 from .sumcheck import SumcheckInstanceProof
@@ -47,10 +53,53 @@ class BatchedGrandProductProof:
 # device kernels
 # ---------------------------------------------------------------------------
 
+def _use_pair_pallas(h: int) -> bool:
+    """Pallas pair kernels need whole 512-pair blocks per half."""
+    if not fd._pallas_backend():
+        return False
+    from ..field.pallas_mont import GP_MB
+    return h >= GP_MB and h % GP_MB == 0
+
+
 @partial(jax.jit, static_argnums=0)
 def _tree_level(spec: FieldSpec, layer: jnp.ndarray) -> jnp.ndarray:
-    """One product-tree level: out[i] = layer[2i] * layer[2i+1]."""
+    """One product-tree level over an INTERLEAVED [L, B, n] layer:
+    out[i] = layer[2i] * layer[2i+1].  (Quarks construction path only —
+    the GKR prover uses the bit-reversed pair representation below.)"""
     return fd.fmul(spec, layer[..., 0::2], layer[..., 1::2])
+
+
+@partial(jax.jit, static_argnums=0)
+def _interleaved_to_pair(spec: FieldSpec, leaves: jnp.ndarray):
+    """Interleaved leaves [L, B, n] -> bit-reversed batch-leading pair
+    (l, r): [B, L, n/2] each.  The left poly occupies even interleaved
+    indices, i.e. the first half after bit-reversal."""
+    n = leaves.shape[-1]
+    br = jnp.take(leaves, jnp.asarray(bitrev_indices(n)), axis=-1)
+    arr = jnp.moveaxis(br, 0, 1)                          # [B, L, n]
+    return arr[..., : n // 2], arr[..., n // 2:]
+
+
+@partial(jax.jit, static_argnums=0)
+def _bitrev_last(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
+    """Bit-reverse-permute the last (hypercube) axis."""
+    return jnp.take(t, jnp.asarray(bitrev_indices(t.shape[-1])), axis=-1)
+
+
+@partial(jax.jit, static_argnums=0)
+def _pair_tree_level(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray):
+    """Next tree level: elementwise product, split into contiguous halves.
+
+    l, r: [B, L, s] bit-reversed.  The parent interleaved layer's
+    bit-reversed array IS l*r; its left/right polys are its halves."""
+    s = l.shape[-1]
+    if fd._pallas_backend() and s >= 512 and s % 512 == 0:
+        from ..field.pallas_mont import mont_mul_bl_pallas
+        prod = mont_mul_bl_pallas(spec, l, r)
+    else:
+        prod = jnp.moveaxis(
+            fd.fmul(spec, jnp.moveaxis(l, 0, 1), jnp.moveaxis(r, 0, 1)), 0, 1)
+    return prod[..., : s // 2], prod[..., s // 2:]
 
 
 def _bcast_coeffs(coeffs: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
@@ -59,22 +108,23 @@ def _bcast_coeffs(coeffs: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnums=0)
-def _gp_cubic_evals(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
-                    coeffs: jnp.ndarray) -> jnp.ndarray:
+def _pair_cubic_evals(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
+                      eq: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Cubic round-poly evaluations at t = 0, 2, 3 -> [L, 3].
 
-    layer: [L, B, 4m] interleaved; eq: [L, 2m]; coeffs: [L, B].
-    Computes sum_i eq_t(i) * sum_b coeff_b * left_t(b,i) * right_t(b,i)
-    with the coefficient folded into `left` (one fewer mul, as in
-    grand_product.rs:363-390 — order of operations preserved mod p).
-    On TPU, big layers take the fully-fused Pallas round kernel.
-    """
-    m = layer.shape[-1] // 4
-    if layer.ndim == 3 and m >= 512 and m % 512 == 0 and fd._pallas_backend():
-        from ..field.pallas_mont import gp_cubic_evals_pallas
-        return gp_cubic_evals_pallas(spec, layer, eq, coeffs)
-    l0, r0 = layer[..., 0::4], layer[..., 1::4]
-    l1, r1 = layer[..., 2::4], layer[..., 3::4]
+    l, r: [B, L, s] bit-reversed pairs; eq: [L, s] bit-reversed;
+    coeffs: [L, B].  Computes sum_i eq_t(i) * sum_b coeff_b * left_t(b,i)
+    * right_t(b,i) with the coefficient folded into `left` (one fewer mul,
+    as in grand_product.rs:363-390 — order of operations preserved mod p).
+    On TPU, big layers take the fully-fused Pallas round kernel."""
+    s = l.shape[-1]
+    h = s // 2
+    if _use_pair_pallas(h):
+        from ..field.pallas_mont import gp_pair_evals_pallas
+        return gp_pair_evals_pallas(spec, l, r, eq, coeffs)
+    lf, rf = jnp.moveaxis(l, 0, 1), jnp.moveaxis(r, 0, 1)   # [L, B, s]
+    l0, l1 = lf[..., :h], lf[..., h:]
+    r0, r1 = rf[..., :h], rf[..., h:]
     cl0 = fd.fmul(spec, _bcast_coeffs(coeffs, l0), l0)
     cl1 = fd.fmul(spec, _bcast_coeffs(coeffs, l1), l1)
     m_l = fd.fsub(spec, cl1, cl0)
@@ -84,11 +134,11 @@ def _gp_cubic_evals(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
     re2 = fd.fadd(spec, r1, m_r)
     re3 = fd.fadd(spec, re2, m_r)
 
-    s0 = fd.fsum(spec, fd.fmul(spec, cl0, r0), axis=0)   # [L, m]
+    s0 = fd.fsum(spec, fd.fmul(spec, cl0, r0), axis=0)   # [L, h]
     s2 = fd.fsum(spec, fd.fmul(spec, le2, re2), axis=0)
     s3 = fd.fsum(spec, fd.fmul(spec, le3, re3), axis=0)
 
-    eq0, eq1 = eq[..., 0::2], eq[..., 1::2]
+    eq0, eq1 = eq[..., :h], eq[..., h:]
     m_eq = fd.fsub(spec, eq1, eq0)
     eqe2 = fd.fadd(spec, eq1, m_eq)
     eqe3 = fd.fadd(spec, eqe2, m_eq)
@@ -100,66 +150,74 @@ def _gp_cubic_evals(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnums=0)
-def _gp_bind(spec: FieldSpec, layer: jnp.ndarray, eq: jnp.ndarray,
-             r: jnp.ndarray):
-    """Bind the bottom variable of the interleaved layer + eq poly.
+def _pair_bind(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
+               eq: jnp.ndarray, r_chal: jnp.ndarray):
+    """Bind the bottom variable: new = lo + r*(hi - lo) on contiguous
+    halves.  Outputs ARE the next round's (l, r, eq) — no re-layout."""
+    s = l.shape[-1]
+    h = s // 2
+    if _use_pair_pallas(h):
+        from ..field.pallas_mont import gp_pair_bind_pallas
+        return gp_pair_bind_pallas(spec, l, r, eq, r_chal)
 
-    Preserves interleaving (grand_product.rs:297-319): pairs (4i, 4i+2)
-    become the new left nodes, (4i+1, 4i+3) the new right nodes.
-    On TPU, big layers take the fused Pallas bind kernel.
-    """
-    m = layer.shape[-1] // 4
-    if layer.ndim == 3 and m >= 512 and m % 512 == 0 and fd._pallas_backend():
-        from ..field.pallas_mont import gp_bind_pallas
-        return gp_bind_pallas(spec, layer, eq, r)
-    l0, r0 = layer[..., 0::4], layer[..., 1::4]
-    l1, r1 = layer[..., 2::4], layer[..., 3::4]
-    rb = jnp.broadcast_to(r.reshape((fd.L,) + (1,) * (layer.ndim - 1)), l0.shape)
-    new_l = fd.fadd(spec, l0, fd.fmul(spec, rb, fd.fsub(spec, l1, l0)))
-    new_r = fd.fadd(spec, r0, fd.fmul(spec, rb, fd.fsub(spec, r1, r0)))
-    new_layer = jnp.stack([new_l, new_r], axis=-1).reshape(layer.shape[:-1]
-                                                           + (layer.shape[-1] // 2,))
-    return new_layer, bind_bot(spec, eq, r)
+    def bind_lf(t):                                       # t: [L, ..., s]
+        lo, hi = t[..., :h], t[..., h:]
+        rb = jnp.broadcast_to(
+            r_chal.reshape((fd.L,) + (1,) * (t.ndim - 1)), lo.shape)
+        return fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+
+    nl = jnp.moveaxis(bind_lf(jnp.moveaxis(l, 0, 1)), 0, 1)
+    nr = jnp.moveaxis(bind_lf(jnp.moveaxis(r, 0, 1)), 0, 1)
+    return nl, nr, bind_lf(eq)
 
 
 # ---------------------------------------------------------------------------
 # prover
 # ---------------------------------------------------------------------------
 
+def _pair_claims(spec: FieldSpec, top: tuple) -> list[FElt]:
+    l, r = top
+    prods = fd.fmul(spec, jnp.moveaxis(l, 0, 1)[..., 0],
+                    jnp.moveaxis(r, 0, 1)[..., 0])        # [L, B]
+    return [FElt(int(v), spec)
+            for v in fd.device_to_ints(spec, prods).tolist()]
+
+
+def _build_pair_tree(spec: FieldSpec, leaves: jnp.ndarray) -> list[tuple]:
+    """Interleaved leaves [L, B, n] -> list of (l, r) pair layers, bottom-up
+    (layers[0] the largest, layers[-1] size-1)."""
+    layers = [_interleaved_to_pair(spec, leaves)]
+    while layers[-1][0].shape[-1] > 1:
+        layers.append(_pair_tree_level(spec, *layers[-1]))
+    return layers
+
+
 class BatchedDenseGrandProduct:
     """B independent grand products over 2^k leaves, proved jointly."""
 
-    def __init__(self, layers: list[jnp.ndarray], spec: FieldSpec):
-        self.layers = layers  # layers[0] = leaves [L, B, n] ... top [L, B, 2]
+    def __init__(self, layers: list[tuple], spec: FieldSpec):
+        self.layers = layers  # [(l, r)] pairs, layers[0] = leaves, bit-rev
         self.spec = spec
 
     @staticmethod
     def construct(leaves: jnp.ndarray, spec: FieldSpec | None = None,
                   mesh=None) -> "BatchedDenseGrandProduct":
-        """With `mesh`, the hypercube axis of every big tree level is sharded
-        across the device mesh; the round kernels stay ordinary jits and XLA
-        partitions the local folds + inserts the cross-chip reductions for
-        the tiny [L, 3] round evaluations.  Small tail layers replicate."""
+        """With `mesh`, the BATCH axis of every pair layer is sharded across
+        the device mesh (each chip owns a subset of the batched circuits;
+        binds are local, only the tiny [L, 3] round evaluations reduce
+        cross-chip).  Batches not divisible by the mesh replicate."""
         spec = spec or fr_spec()
+        layers = _build_pair_tree(spec, leaves)
         if mesh is not None:
-            from ..parallel.sharding import maybe_shard
-            leaves = maybe_shard(mesh, leaves)
-        layers = [leaves]
-        while layers[-1].shape[-1] > 2:
-            layers.append(_tree_level(spec, layers[-1]))
-        if mesh is not None:
-            from ..parallel.sharding import shard_gp_layers
-            layers = shard_gp_layers(mesh, layers)
+            from ..parallel.sharding import shard_gp_pair_layers
+            layers = shard_gp_pair_layers(mesh, layers)
         return BatchedDenseGrandProduct(layers, spec)
 
     def num_layers(self) -> int:
         return len(self.layers)
 
     def claims(self) -> list[FElt]:
-        top = self.layers[-1]
-        prods = fd.fmul(self.spec, top[..., 0], top[..., 1])
-        return [FElt(int(v), self.spec)
-                for v in fd.device_to_ints(self.spec, prods).tolist()]
+        return _pair_claims(self.spec, self.layers[-1])
 
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
@@ -169,16 +227,17 @@ class BatchedDenseGrandProduct:
         return BatchedGrandProductProof(layer_proofs), r_grand_product
 
 
-def _prove_dense_layers(spec: FieldSpec, layers: list[jnp.ndarray],
+def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
                         claims: list[FElt], r_grand_product: list[FElt],
                         transcript: Transcript):
     """Prove multiplication-gate layers top-down (grand_product.rs:199-251).
 
-    Returns (layer_proofs, r_grand_product, claims) after folding each
-    layer's left/right claims with a fresh challenge.
+    `layers` are (l, r) bit-reversed pairs, bottom-up.  Returns
+    (layer_proofs, r_grand_product, claims) after folding each layer's
+    left/right claims with a fresh challenge.
     """
     layer_proofs: list[BatchedGrandProductLayerProof] = []
-    for layer in reversed(layers):
+    for l, r in reversed(layers):
         coeffs = transcript.challenge_vector(len(claims))
         joint_claim = FElt(0, spec)
         for c, co in zip(claims, coeffs):
@@ -186,16 +245,15 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[jnp.ndarray],
         coeffs_dev = jnp.stack(
             [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
 
-        eq = eq_evals_device(
+        eq = eq_evals_device_br(
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
         num_rounds = len(r_grand_product)
 
         previous_claim = joint_claim
         r_sumcheck: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
-        bound = layer
         for _ in range(num_rounds):
-            e023 = _gp_cubic_evals(spec, bound, eq, coeffs_dev)
+            e023 = _pair_cubic_evals(spec, l, r, eq, coeffs_dev)
             ints = fd.device_to_ints(spec, e023).tolist()
             e0, e2, e3 = (FElt(int(v), spec) for v in ints)
             round_poly = UniPoly.from_evals([e0, previous_claim - e0, e2, e3])
@@ -203,14 +261,15 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[jnp.ndarray],
             cpoly.append_to_transcript(transcript)
             r_j = transcript.challenge_scalar()
             r_sumcheck.append(r_j)
-            bound, eq = _gp_bind(spec, bound, eq,
-                                 fd.scalar_to_device(spec, r_j.v))
+            l, r, eq = _pair_bind(spec, l, r, eq,
+                                  fd.scalar_to_device(spec, r_j.v))
             previous_claim = round_poly.evaluate(r_j)
             compressed.append(cpoly)
 
-        finals = fd.device_to_ints(spec, bound)
-        left_claims = [FElt(int(v), spec) for v in finals[:, 0].tolist()]
-        right_claims = [FElt(int(v), spec) for v in finals[:, 1].tolist()]
+        finals_l = fd.device_to_ints(spec, jnp.moveaxis(l, 0, 1)[..., 0])
+        finals_r = fd.device_to_ints(spec, jnp.moveaxis(r, 0, 1)[..., 0])
+        left_claims = [FElt(int(v), spec) for v in finals_l.tolist()]
+        right_claims = [FElt(int(v), spec) for v in finals_r.tolist()]
 
         for lc, rc in zip(left_claims, right_claims):
             transcript.append_scalar(lc)
@@ -248,17 +307,19 @@ def _toggle_cubic_evals(spec: FieldSpec, flags: jnp.ndarray,
     """Toggle-layer round evals at t = 0, 2, 3 (grand_product.rs:1216-1360).
 
     sum_b coeff_b * sum_i eq_t(i) * (flag_t(b,i) * fp_t(b,i) + 1 - flag_t(b,i));
-    pairs (2i, 2i+1) on the last axis; flags are per-memory (b//2).
+    flags/fps/eq are BIT-REVERSED along the hypercube axis, so the sibling
+    pairs (2i, 2i+1) are the contiguous halves; flags are per-memory (b//2).
     """
-    f2 = jnp.repeat(flags, 2, axis=1)              # [L, 2m, n]
-    one = fd.ones(spec, (f2.shape[1], f2.shape[2] // 2))
+    f2 = jnp.repeat(flags, 2, axis=1)              # [L, 2m, T]
+    h = f2.shape[-1] // 2
+    one = fd.ones(spec, (f2.shape[1], h))
 
-    def pair(t):
-        return t[..., 0::2], t[..., 1::2]
+    def halves(t):
+        return t[..., :h], t[..., h:]
 
-    f0, f1 = pair(f2)
-    p0, p1 = pair(fingerprints)
-    e0, e1 = pair(eq)
+    f0, f1 = halves(f2)
+    p0, p1 = halves(fingerprints)
+    e0, e1 = halves(eq)
     m_f = fd.fsub(spec, f1, f0)
     m_p = fd.fsub(spec, p1, p0)
     m_e = fd.fsub(spec, e1, e0)
@@ -275,7 +336,7 @@ def _toggle_cubic_evals(spec: FieldSpec, flags: jnp.ndarray,
             et = fd.fadd(spec, et, m_e)
         gate = fd.fadd(spec, fd.fmul(spec, ft, pt), fd.fsub(spec, one, ft))
         weighted = fd.fmul(spec, _bcast_coeffs(coeffs, gate), gate)
-        per_i = fd.fsum(spec, weighted, axis=0)            # [L, n/2]
+        per_i = fd.fsum(spec, weighted, axis=0)            # [L, h]
         out.append(fd.fsum(spec, fd.fmul(spec, et, per_i), axis=-1))
     return jnp.stack(out, axis=1)
 
@@ -283,9 +344,10 @@ def _toggle_cubic_evals(spec: FieldSpec, flags: jnp.ndarray,
 @partial(jax.jit, static_argnums=0)
 def _toggle_bind(spec: FieldSpec, flags: jnp.ndarray, fingerprints: jnp.ndarray,
                  eq: jnp.ndarray, r: jnp.ndarray):
-    """Bottom-bind flags/fingerprints (NON-interleaved pairs) + eq."""
+    """Bottom-bind flags/fingerprints/eq: contiguous halves (bit-rev)."""
     def bb(t):
-        lo, hi = t[..., 0::2], t[..., 1::2]
+        h = t.shape[-1] // 2
+        lo, hi = t[..., :h], t[..., h:]
         rb = jnp.broadcast_to(r.reshape((fd.L,) + (1,) * (t.ndim - 1)), lo.shape)
         return fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
 
@@ -303,12 +365,11 @@ class ToggledBatchedGrandProduct:
     def __init__(self, flags: jnp.ndarray, fingerprints: jnp.ndarray,
                  spec: FieldSpec | None = None):
         self.spec = spec or fr_spec()
-        self.flags = flags                # [L, m, T]
-        self.fingerprints = fingerprints  # [L, 2m, T]
+        # toggle-round tensors, bit-reversed along the hypercube axis
+        self.flags = _bitrev_last(self.spec, flags)              # [L, m, T]
+        self.fingerprints = _bitrev_last(self.spec, fingerprints)  # [L, 2m, T]
         values = _toggle_values(self.spec, flags, fingerprints)
-        self.layers = [values]
-        while self.layers[-1].shape[-1] > 2:
-            self.layers.append(_tree_level(self.spec, self.layers[-1]))
+        self.layers = _build_pair_tree(self.spec, values)
 
     @staticmethod
     def construct(leaves, spec: FieldSpec | None = None):
@@ -316,10 +377,7 @@ class ToggledBatchedGrandProduct:
         return ToggledBatchedGrandProduct(flags, fingerprints, spec)
 
     def claims(self) -> list[FElt]:
-        top = self.layers[-1]
-        prods = fd.fmul(self.spec, top[..., 0], top[..., 1])
-        return [FElt(int(v), self.spec)
-                for v in fd.device_to_ints(self.spec, prods).tolist()]
+        return _pair_claims(self.spec, self.layers[-1])
 
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
@@ -335,7 +393,7 @@ class ToggledBatchedGrandProduct:
             joint_claim = joint_claim + c * co
         coeffs_dev = jnp.stack(
             [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
-        eq = eq_evals_device(
+        eq = eq_evals_device_br(
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
 
         flags, fps = self.flags, self.fingerprints

@@ -27,8 +27,9 @@ from ..field import device as fd
 from ..poly.mle import eq_evals_device, evaluate_device
 from ..poly.opening_proof import rlc_polys
 from ..transcript import Transcript
-from .grand_product import (BatchedGrandProductProof, _prove_dense_layers,
-                            _tree_level, verify_grand_product)
+from .grand_product import (BatchedGrandProductProof, _interleaved_to_pair,
+                            _prove_dense_layers, _tree_level,
+                            verify_grand_product)
 from .sumcheck import SumcheckInstanceProof, prove_arbitrary
 
 QUARK_HYBRID_LAYER_DEPTH = 4
@@ -268,8 +269,10 @@ class QuarkGrandProduct:
         quark, random, claims = quark_prove(self.quark_polys, pcs,
                                             opening_accumulator, transcript,
                                             spec)
+        pair_layers = [_interleaved_to_pair(spec, lay)
+                       for lay in self.base_layers]
         layer_proofs, random, _ = _prove_dense_layers(
-            spec, self.base_layers, claims, random, transcript)
+            spec, pair_layers, claims, random, transcript)
         return BatchedGrandProductProof(layer_proofs, quark), random
 
     @staticmethod

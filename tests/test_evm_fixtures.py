@@ -44,3 +44,17 @@ def test_grand_product_fixture_verifies():
     verify_grand_product(proof, claims, t)
     # serializable to JSON (what the forge harness would load)
     json.dumps(fx)
+
+
+def test_spartan_fixture_verifies():
+    """Spartan fixture generator self-checks against spartan_verify
+    (the Solidity SpartanVerifier consumes the same structure)."""
+    import pytest
+    pytest.importorskip("jax")
+    from jolt_tpu.evm.fixtures import spartan_fixture
+    fx = spartan_fixture(n=4)
+    assert fx["steps_bits"] >= 1
+    assert len(fx["outer_sumcheck"]) == 7 + fx["steps_bits"]  # CONSTR_BITS=7
+    assert len(fx["inner_sumcheck"]) == 8 + fx["steps_bits"]  # VAR_BITS+1=8
+    assert len(fx["claimed_witness_evals"]) == 87
+    json.dumps(fx)

@@ -35,19 +35,37 @@ def test_pallas_mont_mul_matches_xla():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="TPU-only kernel")
-def test_pallas_gp_round_matches_xla():
+def test_pallas_mont_mul_bl_matches_xla():
     spec = fr_spec()
-    B, n = 3, 1 << 13
-    layer = _rand_mont(spec, (B, n), 3)
-    eq = _rand_mont(spec, (n // 2,), 4)
+    B, n = 3, 1 << 11
+    a = jnp.moveaxis(_rand_mont(spec, (B, n), 6), 0, 1)   # [B, L, n]
+    b = jnp.moveaxis(_rand_mont(spec, (B, n), 7), 0, 1)
+    from jolt_tpu.field.pallas_mont import mont_mul_bl_pallas
+    af, bf = jnp.moveaxis(a, 0, 1), jnp.moveaxis(b, 0, 1)
+    want = jnp.moveaxis(
+        fd._mont_redc(spec, fd._carry(fd._mul_columns(af, bf))), 0, 1)
+    got = mont_mul_bl_pallas(spec, a, b)
+    assert bool(jnp.all(want == got))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="TPU-only kernel")
+def test_pallas_gp_pair_round_matches_xla():
+    """Pair round kernels vs the XLA pair math (contiguous halves)."""
+    spec = fr_spec()
+    B, s = 3, 1 << 12                   # h = s//2 = 2048 = 4 * GP_MB
+    h = s // 2
+    l = jnp.moveaxis(_rand_mont(spec, (B, s), 3), 0, 1)   # [B, L, s]
+    rt = jnp.moveaxis(_rand_mont(spec, (B, s), 8), 0, 1)
+    eq = _rand_mont(spec, (s,), 4)
     coeffs = _rand_mont(spec, (B,), 5)
     r = fd.scalar_to_device(spec, 31337133713371337)
-    from jolt_tpu.field.pallas_mont import (gp_bind_pallas,
-                                            gp_cubic_evals_pallas)
-    # XLA reference (force the non-pallas path by computing directly)
-    l0, r0 = layer[..., 0::4], layer[..., 1::4]
-    l1, r1 = layer[..., 2::4], layer[..., 3::4]
+    from jolt_tpu.field.pallas_mont import (gp_pair_bind_pallas,
+                                            gp_pair_evals_pallas)
     from jolt_tpu.subprotocols.grand_product import _bcast_coeffs
+    # XLA reference on limb-first views
+    lf, rf = jnp.moveaxis(l, 0, 1), jnp.moveaxis(rt, 0, 1)
+    l0, l1 = lf[..., :h], lf[..., h:]
+    r0, r1 = rf[..., :h], rf[..., h:]
     cl0 = fd.fmul(spec, _bcast_coeffs(coeffs, l0), l0)
     cl1 = fd.fmul(spec, _bcast_coeffs(coeffs, l1), l1)
     m_l = fd.fsub(spec, cl1, cl0)
@@ -59,7 +77,7 @@ def test_pallas_gp_round_matches_xla():
     s0 = fd.fsum(spec, fd.fmul(spec, cl0, r0), axis=0)
     s2 = fd.fsum(spec, fd.fmul(spec, le2, re2), axis=0)
     s3 = fd.fsum(spec, fd.fmul(spec, le3, re3), axis=0)
-    eq0, eq1 = eq[..., 0::2], eq[..., 1::2]
+    eq0, eq1 = eq[..., :h], eq[..., h:]
     m_eq = fd.fsub(spec, eq1, eq0)
     eqe2 = fd.fadd(spec, eq1, m_eq)
     eqe3 = fd.fadd(spec, eqe2, m_eq)
@@ -68,13 +86,16 @@ def test_pallas_gp_round_matches_xla():
     e3 = fd.fsum(spec, fd.fmul(spec, eqe3, s3), axis=0)
     want_e = jnp.stack([e0, e2, e3], axis=1)
 
-    got_e = gp_cubic_evals_pallas(spec, layer, eq, coeffs)
+    got_e = gp_pair_evals_pallas(spec, l, rt, eq, coeffs)
     assert bool(jnp.all(want_e == got_e))
 
     rb = jnp.broadcast_to(r.reshape((fd.L, 1, 1)), l0.shape)
-    want_l = jnp.stack(
-        [fd.fadd(spec, l0, fd.fmul(spec, rb, fd.fsub(spec, l1, l0))),
-         fd.fadd(spec, r0, fd.fmul(spec, rb, fd.fsub(spec, r1, r0)))],
-        axis=-1).reshape(layer.shape[:-1] + (n // 2,))
-    got_l, got_q = gp_bind_pallas(spec, layer, eq, r)
-    assert bool(jnp.all(want_l == got_l))
+    want_nl = fd.fadd(spec, l0, fd.fmul(spec, rb, fd.fsub(spec, l1, l0)))
+    want_nr = fd.fadd(spec, r0, fd.fmul(spec, rb, fd.fsub(spec, r1, r0)))
+    want_neq = fd.fadd(spec, eq0, fd.fmul(
+        spec, jnp.broadcast_to(r.reshape((fd.L, 1)), eq0.shape),
+        fd.fsub(spec, eq1, eq0)))
+    got_nl, got_nr, got_neq = gp_pair_bind_pallas(spec, l, rt, eq, r)
+    assert bool(jnp.all(jnp.moveaxis(want_nl, 0, 1) == got_nl))
+    assert bool(jnp.all(jnp.moveaxis(want_nr, 0, 1) == got_nr))
+    assert bool(jnp.all(want_neq == got_neq))
