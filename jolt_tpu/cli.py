@@ -97,6 +97,14 @@ def cmd_analyze(args):
         from .vm.guests import sha2_chain_program
         program = sha2_chain_program(args.n)
         inputs = b"\x05" * 32
+    elif args.guest == "sha3-chain":
+        from .vm.guests import sha3_chain_program
+        program = sha3_chain_program(args.n)
+        inputs = b"\x05" * 32
+    elif args.guest == "collatz":
+        from .vm.guests import collatz_program
+        program = collatz_program(args.n)
+        inputs = b""
     else:
         from .vm.host import fibonacci_program
         program = fibonacci_program(args.n)
@@ -126,6 +134,49 @@ def cmd_prove_sha2_chain(args):
     program = sha2_chain_program(args.iters)
     steps, device, bytecode_rows = trace_program(program, vm, inputs=inputs)
     assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, args.iters)
+    print(f"Trace length: {len(steps)}")
+    pcs = MockCommitmentScheme(spec)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    t0 = time.time()
+    proof, commitments, _, _ = vm.prove(device, steps, pre)
+    print(f"prove: {time.time() - t0:.2f}s")
+    t0 = time.time()
+    vm.verify(pre, proof, commitments)
+    print(f"verify: {time.time() - t0:.2f}s")
+    profiling.print_cumulative()
+
+
+def cmd_prove_guest(args):
+    """End-to-end prove+verify for the example guests (examples/* analogs:
+    collatz, sha3-chain, sha2-chain by name)."""
+    _init_jax(args.platform)
+    from .commitment import MockCommitmentScheme
+    from .field import fr_spec
+    from .utils import profiling
+    from .vm.host import trace_program
+    from .vm.rv32i_vm import rv32i_vm
+
+    inputs = b""
+    if args.guest == "collatz":
+        from .vm.guests import collatz_program
+        program = collatz_program(args.n)
+    elif args.guest == "sha3-chain":
+        from .vm.guests import sha3_chain_expected, sha3_chain_program
+        inputs = b"\x05" * 32
+        program = sha3_chain_program(args.n)
+    else:
+        from .vm.guests import sha2_chain_expected, sha2_chain_program
+        inputs = b"\x05" * 32
+        program = sha2_chain_program(args.n)
+
+    profiling.enable()
+    spec = fr_spec()
+    vm = rv32i_vm(spec)
+    steps, device, bytecode_rows = trace_program(program, vm, inputs=inputs)
+    if args.guest == "sha3-chain":
+        assert bytes(device.outputs)[:32] == sha3_chain_expected(inputs, args.n)
+    elif args.guest == "sha2-chain":
+        assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, args.n)
     print(f"Trace length: {len(steps)}")
     pcs = MockCommitmentScheme(spec)
     pre = vm.preprocess(bytecode_rows, pcs)
@@ -174,6 +225,10 @@ def main():
     p = argparse.ArgumentParser(prog="jolt_tpu")
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu / tpu / axon)")
+    p.add_argument("--jax-trace", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the command into "
+                        "DIR (Perfetto/TensorBoard-compatible; the analog "
+                        "of the reference's --format chrome tracing)")
     sub = p.add_subparsers(dest="cmd", required=True)
     f = sub.add_parser("prove-fib")
     f.add_argument("--n", type=int, default=8)
@@ -193,14 +248,26 @@ def main():
     pb.set_defaults(fn=cmd_pcs_bench)
     an = sub.add_parser("analyze")
     an.add_argument("--guest", default="sha2-chain",
-                    choices=["sha2-chain", "fibonacci"])
+                    choices=["sha2-chain", "sha3-chain", "collatz",
+                             "fibonacci"])
     an.add_argument("--n", type=int, default=1)
     an.set_defaults(fn=cmd_analyze)
     sh = sub.add_parser("prove-sha2-chain")
     sh.add_argument("--iters", type=int, default=1)
     sh.set_defaults(fn=cmd_prove_sha2_chain)
+    pg = sub.add_parser("prove-guest")
+    pg.add_argument("--guest", default="collatz",
+                    choices=["collatz", "sha3-chain", "sha2-chain"])
+    pg.add_argument("--n", type=int, default=1,
+                    help="iterations (chains) or start value (collatz)")
+    pg.set_defaults(fn=cmd_prove_guest)
     args = p.parse_args()
-    args.fn(args)
+    if args.jax_trace:
+        from .utils.profiling import jax_trace
+        with jax_trace(args.jax_trace):
+            args.fn(args)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

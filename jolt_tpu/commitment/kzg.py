@@ -176,9 +176,10 @@ def kzg_commit_grand_product(pk: KZGProverKey, coeffs_mont: jnp.ndarray
 
 
 def _msm_jac(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
-    """MSM accepting Jacobian device points."""
+    """MSM accepting Jacobian device points (size-adaptive window count)."""
     canonical = fd.from_mont_device(FR, scalars_mont)
-    wx, wy, wz = _msm_windows_jac(points_jac, canonical)
+    wx, wy, wz = _msm_windows_jac(points_jac, canonical,
+                                  cd.scalar_max_windows(canonical))
     windows = cd.jacobian_to_host(wx, wy, wz)
     acc = G1Jacobian.identity()
     for wpt in reversed(windows):
@@ -188,11 +189,11 @@ def _msm_jac(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
     return acc.to_affine()
 
 
-@partial(jax.jit, static_argnums=())
-def _msm_windows_jac(points_jac, scalar_limbs):
+@partial(jax.jit, static_argnums=(2,))
+def _msm_windows_jac(points_jac, scalar_limbs, n_windows=None):
     px, py, pz = points_jac
     inf_mask = jnp.all(pz == 0, axis=0)
-    return cd._msm_windows_impl(px, py, pz, inf_mask, scalar_limbs)
+    return cd._msm_windows_impl(px, py, pz, inf_mask, scalar_limbs, n_windows)
 
 
 def msm_jacobian(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:

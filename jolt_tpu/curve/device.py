@@ -136,23 +136,39 @@ def jacobian_to_host(X, Y, Z) -> list[G1Jacobian]:
 MSM_WINDOW_BITS = 8
 
 
-@partial(jax.jit, static_argnums=())
-def _msm_windows(px, py, inf_mask, scalar_limbs):
+def scalar_max_windows(canonical_limbs: jnp.ndarray) -> int:
+    """Number of 8-bit windows needed for the largest scalar (size-adaptive
+    dispatch, msm/mod.rs:11-54: Jolt witness scalars are mostly tiny —
+    flags, counters, u64 values — so most MSMs need 1-8 windows, not 32).
+    One tiny device reduction + host sync; commitment bytes unchanged."""
+    axes = tuple(range(1, canonical_limbs.ndim))
+    limb_max = np.asarray(jax.device_get(jnp.max(canonical_limbs, axis=axes)))
+    msb = 0
+    for i, v in enumerate(limb_max.tolist()):
+        if v:
+            msb = LIMB_BITS * i + int(v).bit_length()
+    return max(1, -(-msb // MSM_WINDOW_BITS))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _msm_windows(px, py, inf_mask, scalar_limbs, n_windows=None):
     """Affine-input wrapper: all window totals -> Jacobian points [L, W]."""
     one = fd.ones(FQ, (px.shape[-1],))
     pz = jnp.where(inf_mask[None], jnp.zeros_like(one), one)
-    return _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs)
+    return _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs, n_windows)
 
 
-def _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs):
-    """All window totals of the MSM -> Jacobian points [L, W].
+def _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs, n_windows=None):
+    """Window totals of the MSM -> Jacobian points [L, W].
 
     px/py/pz: [L, N] Fq Montgomery Jacobian coords; inf_mask: [N] bool;
-    scalar_limbs: [L, N] CANONICAL 16-bit Fr limbs.
+    scalar_limbs: [L, N] CANONICAL 16-bit Fr limbs; n_windows: how many
+    low-order 8-bit windows are (possibly) nonzero — every pass below
+    scales linearly with it.
     """
     c = MSM_WINDOW_BITS
     per_limb = LIMB_BITS // c
-    W = fd.L * per_limb
+    W = n_windows or fd.L * per_limb
     N = px.shape[-1]
 
     # digits [W, N]
@@ -236,7 +252,8 @@ def msm(points_dev, scalars_mont: jnp.ndarray,
     n = scalars_mont.shape[-1]
     assert px.shape[-1] >= n, "SRS too short"
     canonical = fd.from_mont_device(spec_fr, scalars_mont)
-    wx, wy, wz = _msm_windows(px[..., :n], py[..., :n], inf_mask[:n], canonical)
+    wx, wy, wz = _msm_windows(px[..., :n], py[..., :n], inf_mask[:n],
+                              canonical, scalar_max_windows(canonical))
     windows = jacobian_to_host(wx, wy, wz)
     acc = G1Jacobian.identity()
     for wpt in reversed(windows):

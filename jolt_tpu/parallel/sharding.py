@@ -103,7 +103,7 @@ def shard_gp_pair_layers(mesh: Mesh, layers: list[tuple],
 # ---------------------------------------------------------------------------
 
 def sharded_msm_windows(mesh: Mesh, points_jac, scalar_limbs: jnp.ndarray,
-                        axis: str = "hc"):
+                        axis: str = "hc", n_windows: int | None = None):
     """MSM window totals over a sharded point/scalar set.
 
     The single-device kernel sorts points by digit (curve/device.py) — a
@@ -111,13 +111,14 @@ def sharded_msm_windows(mesh: Mesh, points_jac, scalar_limbs: jnp.ndarray,
     bucket-sums ITS slice locally, then the [L, W] per-shard window totals
     (tiny) are all-gathered and tree-folded with full Jacobian adds.
     points_jac: (X, Y, Z) [Lq, N] sharded on N; scalar_limbs: [Lr, N]
-    CANONICAL 16-bit limbs, sharded.  Returns (X, Y, Z) [Lq, W] replicated.
+    CANONICAL 16-bit limbs, sharded.  n_windows must be a GLOBAL bound
+    (same on every shard).  Returns (X, Y, Z) [Lq, W] replicated.
     """
     from ..curve import device as cd
 
     def step(px, py, pz, sl):
         inf = jnp.all(pz == 0, axis=0)
-        w = cd._msm_windows_impl(px, py, pz, inf, sl)      # (x,y,z) [L, W]
+        w = cd._msm_windows_impl(px, py, pz, inf, sl, n_windows)  # [L, W]
         g = tuple(jnp.moveaxis(jax.lax.all_gather(t, axis), 0, -1)
                   for t in w)                               # [L, W, D]
         while g[0].shape[-1] > 1:
@@ -146,10 +147,11 @@ def sharded_msm(mesh: Mesh, points_jac, scalars_mont: jnp.ndarray,
     """Full sharded MSM -> host G1Affine (windows on device, Horner on host)."""
     from ..curve import device as cd
     spec_fr = spec_fr or fr_spec()
+    canonical = fd.from_mont_device(spec_fr, scalars_mont)
+    n_windows = cd.scalar_max_windows(canonical)
     pts = tuple(shard_hypercube(mesh, t, axis) for t in points_jac)
-    scl = shard_hypercube(
-        mesh, fd.from_mont_device(spec_fr, scalars_mont), axis)
-    wx, wy, wz = sharded_msm_windows(mesh, pts, scl, axis)
+    scl = shard_hypercube(mesh, canonical, axis)
+    wx, wy, wz = sharded_msm_windows(mesh, pts, scl, axis, n_windows)
     windows = cd.jacobian_to_host(wx, wy, wz)
     from ..curve.bn254 import G1Jacobian
     acc = G1Jacobian.identity()

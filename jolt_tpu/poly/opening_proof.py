@@ -53,6 +53,34 @@ def rlc_polys(spec: FieldSpec, polys: Sequence[jnp.ndarray],
 
 
 @partial(jax.jit, static_argnums=0)
+def _reduction_round_fs(spec: FieldSpec, k: int, polys, eqs, coeffs_k,
+                        inact, prev, state, nr):
+    """One batch-reduction sumcheck round with the device transcript:
+    quadratic evals of the k active (poly, eq) pairs + the host-constant
+    contribution of not-yet-active claims, then append/challenge/bind."""
+    from ..subprotocols import fs_device as fsd
+    ev0, ev2 = inact, inact
+    for p, q, c in zip(polys, eqs, coeffs_k):
+        pair = _quadratic_evals(spec, p, q)
+        ev0 = fd.fadd(spec, ev0, fd.fmul(spec, c, pair[:, 0]))
+        ev2 = fd.fadd(spec, ev2, fd.fmul(spec, c, pair[:, 1]))
+    e1 = fd.fsub(spec, prev, ev0)
+    coeffs3 = fsd.interpolate(spec, [ev0, e1, ev2])
+    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs3, state, nr)
+    prev = fsd.horner(spec, coeffs3, rj)
+    polys = tuple(bind_top(spec, p, rj) for p in polys)
+    eqs = tuple(bind_top(spec, q, rj) for q in eqs)
+    return comp, polys, eqs, prev, state, nr
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _reduction_round_fs_jit(spec: FieldSpec, k: int):
+    return jax.jit(partial(_reduction_round_fs, spec, k))
+
+
 def _quadratic_evals(spec: FieldSpec, poly: jnp.ndarray, eq: jnp.ndarray
                      ) -> jnp.ndarray:
     """(eval_0, eval_2) of sum_x P(t,x)*eq(t,x) -> [L, 2]."""
@@ -119,6 +147,11 @@ class ProverOpeningAccumulator:
                 scaled = FElt(1 << diff, spec) * scaled
             e = e + scaled * co
 
+        from ..subprotocols.grand_product import _use_device_fs
+        if _use_device_fs():
+            return self._prove_reduction_device_fs(coeffs, e, max_num_vars,
+                                                   transcript)
+
         r: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
         bound: list[jnp.ndarray | None] = [None] * len(self.openings)
@@ -156,6 +189,48 @@ class ProverOpeningAccumulator:
 
         claims = [FElt(fd.to_int(spec, b[..., 0]), spec)
                   for b in bound]
+        return SumcheckInstanceProof(compressed), r, claims
+
+    def _prove_reduction_device_fs(self, coeffs: list[FElt], e: FElt,
+                                   max_num_vars: int,
+                                   transcript: Transcript):
+        """Batch-reduction sumcheck with the Fiat-Shamir chain on device
+        (subprotocols/fs_device.py): rounds enqueue without host syncs;
+        per-round not-yet-active claim contributions are host constants
+        folded in as device scalars.  Byte-identical transcript."""
+        spec = self.spec
+        from ..subprotocols import fs_device as fsd
+        coeffs_dev = [fd.scalar_to_device(spec, c.v) for c in coeffs]
+        state_dev, nr_dev = fsd.state_to_device(transcript)
+        prev_dev = fd.scalar_to_device(spec, e.v)
+        bound = [o.polynomial for o in self.openings]
+        bound_eq = [o.eq_poly for o in self.openings]
+        comps = []
+        for rnd in range(max_num_vars):
+            remaining = max_num_vars - rnd
+            active = tuple(i for i, o in enumerate(self.openings)
+                           if remaining <= len(o.opening_point))
+            inact = FElt(0, spec)
+            for i, o in enumerate(self.openings):
+                if i not in active:
+                    rem_vars = remaining - len(o.opening_point) - 1
+                    inact = inact + FElt(1 << rem_vars, spec) * o.claim \
+                        * coeffs[i]
+            comp, new_polys, new_eqs, prev_dev, state_dev, nr_dev = \
+                _reduction_round_fs_jit(spec, len(active))(
+                    tuple(bound[i] for i in active),
+                    tuple(bound_eq[i] for i in active),
+                    tuple(coeffs_dev[i] for i in active),
+                    fd.scalar_to_device(spec, inact.v),
+                    prev_dev, state_dev, nr_dev)
+            for k, i in enumerate(active):
+                bound[i] = new_polys[k]
+                bound_eq[i] = new_eqs[k]
+            comps.append(comp)
+        comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
+        compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
+                                             state_dev, CompressedUniPoly)
+        claims = [FElt(fd.to_int(spec, b[..., 0]), spec) for b in bound]
         return SumcheckInstanceProof(compressed), r, claims
 
     def reduce_and_prove(self, pcs, transcript: Transcript) -> ReducedOpeningProof:

@@ -27,6 +27,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import FElt, FieldSpec, fr_spec
 from ..field import device as fd
@@ -59,6 +60,17 @@ def _use_pair_pallas(h: int) -> bool:
         return False
     from ..field.pallas_mont import GP_MB
     return h >= GP_MB and h % GP_MB == 0
+
+
+def _use_device_fs() -> bool:
+    """Device-resident Fiat-Shamir (one dispatch per GKR layer).  Default
+    on TPU (the win is tunnel latency); JOLT_TPU_DEVICE_FS=1/0 overrides
+    (tests force-enable it on CPU for transcript parity coverage)."""
+    import os
+    v = os.environ.get("JOLT_TPU_DEVICE_FS")
+    if v is not None:
+        return v not in ("0", "")
+    return fd._pallas_backend()
 
 
 @partial(jax.jit, static_argnums=0)
@@ -172,6 +184,63 @@ def _pair_bind(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# device-resident layer rounds (Fiat-Shamir chain on device)
+# ---------------------------------------------------------------------------
+#
+# On the real TPU every host round-trip through the axon tunnel costs
+# ~10ms; a GKR layer has log2(s) rounds and each round needs 6 transcript
+# events.  Running the WHOLE layer (evals -> round-poly -> keccak events ->
+# challenge -> bind) on device turns that into one dispatch per layer.
+# The host then replays the transcript from the returned compressed polys
+# (microseconds) to rebuild FElt challenges + state_history, and asserts
+# the device hash chain matches — a per-layer bit-exactness check.
+
+def _fs_transcript_round(spec: FieldSpec, e023, prev, state, nr):
+    """Device transcript block for a cubic GKR round: interpolate from
+    evals at {0,2,3} + the previous-claim hint, append the compressed
+    poly + draw the challenge (fs_device helpers), Horner the next claim.
+    Returns (compressed [L,3], rj, prev', state', nr')."""
+    from . import fs_device as fsd
+    e0, e2, e3 = e023[:, 0], e023[:, 1], e023[:, 2]
+    e1 = fd.fsub(spec, prev, e0)
+    coeffs = fsd.interpolate(spec, [e0, e1, e2, e3])
+    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
+    prev = fsd.horner(spec, coeffs, rj)
+    return comp, rj, prev, state, nr
+
+
+def _gp_round_fs(spec: FieldSpec, l, r, eq, coeffs_dev, prev, state, nr):
+    """ONE GKR round with the Fiat-Shamir transcript on device.  Rounds
+    chain through device arrays only, so the host can enqueue a whole
+    layer of these without a single blocking sync."""
+    e023 = _pair_cubic_evals(spec, l, r, eq, coeffs_dev)
+    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
+                                                     state, nr)
+    l, r, eq = _pair_bind(spec, l, r, eq, rj)
+    return comp, l, r, eq, prev, state, nr
+
+
+@functools.lru_cache(maxsize=None)
+def _gp_round_fs_jit(spec: FieldSpec):
+    return jax.jit(partial(_gp_round_fs, spec))
+
+
+def _toggle_round_fs(spec: FieldSpec, flags, fps, eq, coeffs_dev, prev,
+                     state, nr):
+    """ONE toggle-layer round with the device Fiat-Shamir transcript."""
+    e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
+    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
+                                                     state, nr)
+    flags, fps, eq = _toggle_bind(spec, flags, fps, eq, rj)
+    return comp, flags, fps, eq, prev, state, nr
+
+
+@functools.lru_cache(maxsize=None)
+def _toggle_round_fs_jit(spec: FieldSpec):
+    return jax.jit(partial(_toggle_round_fs, spec))
+
+
+# ---------------------------------------------------------------------------
 # prover
 # ---------------------------------------------------------------------------
 
@@ -249,22 +318,41 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
         num_rounds = len(r_grand_product)
 
-        previous_claim = joint_claim
         r_sumcheck: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
-        for _ in range(num_rounds):
-            e023 = _pair_cubic_evals(spec, l, r, eq, coeffs_dev)
-            ints = fd.device_to_ints(spec, e023).tolist()
-            e0, e2, e3 = (FElt(int(v), spec) for v in ints)
-            round_poly = UniPoly.from_evals([e0, previous_claim - e0, e2, e3])
-            cpoly = round_poly.compress()
-            cpoly.append_to_transcript(transcript)
-            r_j = transcript.challenge_scalar()
-            r_sumcheck.append(r_j)
-            l, r, eq = _pair_bind(spec, l, r, eq,
-                                  fd.scalar_to_device(spec, r_j.v))
-            previous_claim = round_poly.evaluate(r_j)
-            compressed.append(cpoly)
+        if num_rounds > 0 and _use_device_fs():
+            # device Fiat-Shamir: the whole layer in ONE dispatch, then a
+            # host replay of the transcript (also validates the device
+            # keccak chain bit-for-bit)
+            from . import fs_device as fsd
+            state_dev, nr_dev = fsd.state_to_device(transcript)
+            prev_dev = fd.scalar_to_device(spec, joint_claim.v)
+            comps = []
+            for _ in range(num_rounds):
+                comp, l, r, eq, prev_dev, state_dev, nr_dev = \
+                    _gp_round_fs_jit(spec)(l, r, eq, coeffs_dev, prev_dev,
+                                           state_dev, nr_dev)
+                comps.append(comp)
+            comp_ints = fd.device_to_ints(
+                spec, jnp.stack(comps, axis=1))            # [rounds, 3]
+            compressed, r_sumcheck = fsd.replay_and_check(
+                spec, comp_ints, transcript, state_dev, CompressedUniPoly)
+        else:
+            previous_claim = joint_claim
+            for _ in range(num_rounds):
+                e023 = _pair_cubic_evals(spec, l, r, eq, coeffs_dev)
+                ints = fd.device_to_ints(spec, e023).tolist()
+                e0, e2, e3 = (FElt(int(v), spec) for v in ints)
+                round_poly = UniPoly.from_evals(
+                    [e0, previous_claim - e0, e2, e3])
+                cpoly = round_poly.compress()
+                cpoly.append_to_transcript(transcript)
+                r_j = transcript.challenge_scalar()
+                r_sumcheck.append(r_j)
+                l, r, eq = _pair_bind(spec, l, r, eq,
+                                      fd.scalar_to_device(spec, r_j.v))
+                previous_claim = round_poly.evaluate(r_j)
+                compressed.append(cpoly)
 
         finals_l = fd.device_to_ints(spec, jnp.moveaxis(l, 0, 1)[..., 0])
         finals_r = fd.device_to_ints(spec, jnp.moveaxis(r, 0, 1)[..., 0])
@@ -397,23 +485,38 @@ class ToggledBatchedGrandProduct:
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
 
         flags, fps = self.flags, self.fingerprints
-        previous_claim = joint_claim
         r_sumcheck: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
         num_rounds = len(r_grand_product)
-        for _ in range(num_rounds):
-            e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
-            ints = fd.device_to_ints(spec, e023).tolist()
-            e0, e2, e3 = (FElt(int(v), spec) for v in ints)
-            round_poly = UniPoly.from_evals([e0, previous_claim - e0, e2, e3])
-            cpoly = round_poly.compress()
-            cpoly.append_to_transcript(transcript)
-            r_j = transcript.challenge_scalar()
-            r_sumcheck.append(r_j)
-            flags, fps, eq = _toggle_bind(spec, flags, fps, eq,
-                                          fd.scalar_to_device(spec, r_j.v))
-            previous_claim = round_poly.evaluate(r_j)
-            compressed.append(cpoly)
+        if num_rounds > 0 and _use_device_fs():
+            from . import fs_device as fsd
+            state_dev, nr_dev = fsd.state_to_device(transcript)
+            prev_dev = fd.scalar_to_device(spec, joint_claim.v)
+            comps = []
+            for _ in range(num_rounds):
+                comp, flags, fps, eq, prev_dev, state_dev, nr_dev = \
+                    _toggle_round_fs_jit(spec)(flags, fps, eq, coeffs_dev,
+                                               prev_dev, state_dev, nr_dev)
+                comps.append(comp)
+            comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
+            compressed, r_sumcheck = fsd.replay_and_check(
+                spec, comp_ints, transcript, state_dev, CompressedUniPoly)
+        else:
+            previous_claim = joint_claim
+            for _ in range(num_rounds):
+                e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
+                ints = fd.device_to_ints(spec, e023).tolist()
+                e0, e2, e3 = (FElt(int(v), spec) for v in ints)
+                round_poly = UniPoly.from_evals(
+                    [e0, previous_claim - e0, e2, e3])
+                cpoly = round_poly.compress()
+                cpoly.append_to_transcript(transcript)
+                r_j = transcript.challenge_scalar()
+                r_sumcheck.append(r_j)
+                flags, fps, eq = _toggle_bind(
+                    spec, flags, fps, eq, fd.scalar_to_device(spec, r_j.v))
+                previous_claim = round_poly.evaluate(r_j)
+                compressed.append(cpoly)
 
         flag_vals = fd.device_to_ints(spec, flags[..., 0]).tolist()
         fp_vals = fd.device_to_ints(spec, fps[..., 0]).tolist()

@@ -103,6 +103,13 @@ def prove_arbitrary(num_rounds: int,
     """
     spec = spec or fr_spec()
     polys = tuple(polys)
+    if num_rounds > 0 and _use_device_fs():
+        compressed, r, polys = _prove_rounds_device(
+            num_rounds, polys, comb_func, degree, transcript, spec,
+            bot=False, claim=None)
+        final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec)
+                       for p in polys]
+        return SumcheckInstanceProof(compressed), r, final_evals
     r: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
     for _ in range(num_rounds):
@@ -158,6 +165,13 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
     """
     spec = spec or fr_spec()
     polys = tuple(polys)
+    if num_rounds > 0 and _use_device_fs():
+        compressed, r, polys = _prove_rounds_device(
+            num_rounds, polys, comb_func, degree, transcript, spec,
+            bot=True, claim=claim)
+        final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec)
+                       for p in polys]
+        return SumcheckInstanceProof(compressed), r, final_evals
     r: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
     previous_claim = claim
@@ -177,6 +191,60 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
         compressed.append(cpoly)
     final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys]
     return SumcheckInstanceProof(compressed), r, final_evals
+
+
+# -- device-resident Fiat-Shamir rounds (one async dispatch per round) -------
+
+def _sc_round_fs(spec: FieldSpec, comb_func, degree: int, bot: bool,
+                 use_hint: bool, polys, prev, state, nr):
+    """One generic sumcheck round with the transcript on device
+    (fs_device.py).  `prev` is the running claim (used only when
+    use_hint — the bottom-binding provers' t=1 derivation)."""
+    from . import fs_device as fsd
+    ev_fn = _round_evals_bot if bot else _round_evals
+    evals_dev = ev_fn(spec, comb_func, degree, polys)      # [L, degree+1]
+    evals = [evals_dev[:, t] for t in range(degree + 1)]
+    if use_hint:
+        evals[1] = fd.fsub(spec, prev, evals[0])
+    coeffs = fsd.interpolate(spec, evals)
+    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
+    prev = fsd.horner(spec, coeffs, rj)
+    bind = _bind_all_bot if bot else _bind_all
+    polys = bind(spec, polys, rj)
+    return comp, polys, prev, state, nr
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _sc_round_fs_jit(spec, comb_func, degree, bot, use_hint, polys, prev,
+                     state, nr):
+    return _sc_round_fs(spec, comb_func, degree, bot, use_hint, polys,
+                        prev, state, nr)
+
+
+def _use_device_fs() -> bool:
+    from .grand_product import _use_device_fs as f
+    return f()
+
+
+def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
+                         spec, bot: bool, claim):
+    """Shared device-FS driver: enqueue all rounds without a host sync,
+    pull compressed polys once, replay the host transcript."""
+    from . import fs_device as fsd
+    state_dev, nr_dev = fsd.state_to_device(transcript)
+    use_hint = claim is not None
+    prev_dev = fd.scalar_to_device(spec, claim.v) if use_hint \
+        else fd.zeros(spec, ())
+    comps = []
+    for _ in range(num_rounds):
+        comp, polys, prev_dev, state_dev, nr_dev = _sc_round_fs_jit(
+            spec, comb_func, degree, bot, use_hint, polys, prev_dev,
+            state_dev, nr_dev)
+        comps.append(comp)
+    comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
+    compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
+                                         state_dev, CompressedUniPoly)
+    return compressed, r, polys
 
 
 # -- common combine functions (stable objects for jit caching) ---------------

@@ -16,6 +16,7 @@ Reference: jolt-core/src/jolt/vm/instruction_lookups.rs.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 
@@ -240,6 +241,25 @@ def _primary_bind(spec: FieldSpec, eq, outputs, flags, E, r):
             mle.bind_top(spec, flags, r), mle.bind_top(spec, E, r))
 
 
+def _il_round_fs(spec: FieldSpec, meta, degree: int, eq_b, out_b, f_b, e_b,
+                 state, nr):
+    """One primary-sumcheck round with the Fiat-Shamir transcript on
+    device (subprotocols/fs_device.py)."""
+    from ..subprotocols import fs_device as fsd
+    evals_dev = _primary_round_evals(spec, meta, degree, eq_b, out_b, f_b,
+                                     e_b)
+    evals = [evals_dev[:, t] for t in range(degree + 1)]
+    coeffs = fsd.interpolate(spec, evals)
+    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
+    eq_b, out_b, f_b, e_b = _primary_bind(spec, eq_b, out_b, f_b, e_b, rj)
+    return comp, eq_b, out_b, f_b, e_b, state, nr
+
+
+@functools.lru_cache(maxsize=None)
+def _il_round_fs_jit(spec: FieldSpec, meta, degree: int):
+    return jax.jit(partial(_il_round_fs, spec, meta, degree))
+
+
 # ---------------------------------------------------------------------------
 # leaves kernels (memory checking)
 # ---------------------------------------------------------------------------
@@ -347,18 +367,35 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     f_b, e_b = polys.instruction_flags, polys.E_polys
     r_primary: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
-    for _ in range(num_rounds):
-        evals_dev = _primary_round_evals(spec, meta, degree, eq_b, out_b, f_b, e_b)
-        evals = [FElt(int(v), spec)
-                 for v in fd.device_to_ints(spec, evals_dev).tolist()]
-        round_poly = UniPoly.from_evals(evals)
-        cpoly = round_poly.compress()
-        cpoly.append_to_transcript(transcript)
-        r_j = transcript.challenge_scalar()
-        r_primary.append(r_j)
-        eq_b, out_b, f_b, e_b = _primary_bind(
-            spec, eq_b, out_b, f_b, e_b, fd.scalar_to_device(spec, r_j.v))
-        compressed.append(cpoly)
+    from ..subprotocols.grand_product import _use_device_fs
+    if num_rounds > 0 and _use_device_fs():
+        # device Fiat-Shamir: all primary-sumcheck rounds enqueue without
+        # a host sync; one pull + host transcript replay at the end
+        from ..subprotocols import fs_device as fsd
+        state_dev, nr_dev = fsd.state_to_device(transcript)
+        comps = []
+        for _ in range(num_rounds):
+            comp, eq_b, out_b, f_b, e_b, state_dev, nr_dev = \
+                _il_round_fs_jit(spec, meta, degree)(
+                    eq_b, out_b, f_b, e_b, state_dev, nr_dev)
+            comps.append(comp)
+        comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
+        compressed, r_primary = fsd.replay_and_check(
+            spec, comp_ints, transcript, state_dev, CompressedUniPoly)
+    else:
+        for _ in range(num_rounds):
+            evals_dev = _primary_round_evals(spec, meta, degree, eq_b, out_b,
+                                             f_b, e_b)
+            evals = [FElt(int(v), spec)
+                     for v in fd.device_to_ints(spec, evals_dev).tolist()]
+            round_poly = UniPoly.from_evals(evals)
+            cpoly = round_poly.compress()
+            cpoly.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar()
+            r_primary.append(r_j)
+            eq_b, out_b, f_b, e_b = _primary_bind(
+                spec, eq_b, out_b, f_b, e_b, fd.scalar_to_device(spec, r_j.v))
+            compressed.append(cpoly)
 
     flag_evals = [FElt(int(v), spec) for v in
                   fd.device_to_ints(spec, f_b[..., 0]).tolist()]

@@ -23,6 +23,17 @@ import jax  # noqa: E402
 # kernel paths that production uses.
 jax.config.update("jax_platforms",
                   os.environ.get("JOLT_TEST_PLATFORM", "cpu"))
-jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# JOLT_TEST_CACHE_DIR override: concurrent writers can corrupt a shared
+# cache (observed SIGSEGV in backend_compile_and_load) — point a second
+# test process at its own directory.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JOLT_TEST_CACHE_DIR",
+                                 "/tmp/jolt_tpu_jit_cache"))
+# JOLT_TEST_NO_CACHE_WRITE=1: keep cache READS but write nothing — the
+# jax 0.9.0 cache writer segfaults on certain executables on this box
+# (put_executable_and_time); run_tests.sh retries crashed files this way.
+if os.environ.get("JOLT_TEST_NO_CACHE_WRITE"):
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

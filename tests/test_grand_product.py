@@ -60,3 +60,32 @@ def test_grand_product_rejects_tampering():
         raise SystemExit("tampered proof should not verify")
     except AssertionError:
         pass
+
+
+def test_device_fiat_shamir_layer_parity(monkeypatch):
+    """Device-resident Fiat-Shamir chain (one dispatch per layer) produces
+    the exact same proof + transcript as the host path."""
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "1")
+    spec = fr_spec()
+    B, n = 2, 8
+    leaves_ints = [[RNG.randrange(spec.p) for _ in range(n)]
+                   for _ in range(B)]
+    leaves = fd.ints_to_device(spec, leaves_ints)
+    gp = BatchedDenseGrandProduct.construct(leaves, spec)
+    claims = gp.claims()
+    t_dev = Transcript(b"gp")
+    proof_dev, r_dev = gp.prove(t_dev)
+
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "0")
+    gp2 = BatchedDenseGrandProduct.construct(leaves, spec)
+    t_host = Transcript(b"gp")
+    proof_host, r_host = gp2.prove(t_host)
+
+    assert t_dev.state_history == t_host.state_history
+    assert [x.v for x in r_dev] == [x.v for x in r_host]
+    for ld, lh in zip(proof_dev.layers, proof_host.layers):
+        for pd, ph in zip(ld.proof.compressed_polys,
+                          lh.proof.compressed_polys):
+            assert [c.v for c in pd.coeffs_except_linear_term] == \
+                [c.v for c in ph.coeffs_except_linear_term]
+    verify_grand_product(proof_dev, claims, Transcript(b"gp"))

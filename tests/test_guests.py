@@ -32,3 +32,34 @@ def test_sha2_chain_guest_python_oracle():
     dev.inputs.extend(inputs)
     Emulator(program, dev).run(max_steps=1 << 16)
     assert bytes(dev.outputs)[:32] == sha2_chain_expected(inputs, 1)
+
+
+def test_collatz_guest_native():
+    from jolt_tpu.vm.guests import collatz_expected, collatz_program
+    program = collatz_program(27)         # 111 steps
+    dev, _ = _run_native(program, b"")
+    import struct
+    assert struct.unpack("<I", bytes(dev.outputs)[:4])[0] == \
+        collatz_expected(27) == 111
+
+
+def test_sha3_chain_guest_native():
+    """SHA3-256 (NIST padding) against the independent hashlib oracle —
+    exercises the JAL/JALR subroutine path end-to-end."""
+    from jolt_tpu.vm.guests import sha3_chain_expected, sha3_chain_program
+    inputs = bytes(range(32))
+    program = sha3_chain_program(2)
+    dev, n_rows = _run_native(program, inputs)
+    assert bytes(dev.outputs)[:32] == sha3_chain_expected(inputs, 2)
+    assert not dev.panic
+    assert n_rows > 2 * 5000
+
+
+def test_keccak256_chain_guest_native():
+    """Ethereum Keccak-256 padding variant (transcript keccak oracle)."""
+    from jolt_tpu.vm.guests import sha3_chain_expected, sha3_chain_program
+    inputs = b"\x07" * 32
+    program = sha3_chain_program(1, pad_byte=0x01)
+    dev, _ = _run_native(program, inputs)
+    assert bytes(dev.outputs)[:32] == sha3_chain_expected(inputs, 1,
+                                                          pad_byte=0x01)

@@ -61,3 +61,29 @@ def test_fibonacci_e2e_hyperkzg_serialization_roundtrip():
     assert proof2.trace_length == proof.trace_length
     assert bytes(proof2.program_io.outputs) == bytes(proof.program_io.outputs)
     vm.verify(pre, proof2, commitments2)
+
+
+def test_fibonacci_e2e_device_fiat_shamir_parity(monkeypatch):
+    """Full VM prove with the Fiat-Shamir chain on device produces a
+    transcript byte-identical to the host path (covers the GKR layers,
+    toggle layer, and the primary/spartan sumchecks in one sweep)."""
+    spec = fr_spec()
+
+    def run():
+        vm = mini_vm([AddInstruction, BneInstruction],
+                     [TruncateOverflowSubtable(32), IdentitySubtable(),
+                      EqSubtable()],
+                     M_mini=1 << 8, spec=spec)
+        program = fibonacci_program(3)
+        steps, device, bytecode_rows = trace_program(
+            program, vm, max_input_size=32, max_output_size=32)
+        pre = vm.preprocess(bytecode_rows, MockCommitmentScheme(spec))
+        proof, commitments, pt, _ = vm.prove(device, steps, pre)
+        vm.verify(pre, proof, commitments)
+        return pt.state_history
+
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "1")
+    hist_dev = run()
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "0")
+    hist_host = run()
+    assert hist_dev == hist_host
