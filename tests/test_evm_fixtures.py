@@ -46,11 +46,14 @@ def test_grand_product_fixture_verifies():
     json.dumps(fx)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_spartan_fixture_verifies():
     """Spartan fixture generator self-checks against spartan_verify
-    (the Solidity SpartanVerifier consumes the same structure)."""
-    import pytest
-    pytest.importorskip("jax")
+    (the Solidity SpartanVerifier consumes the same structure).  Slow:
+    two full VM proves (capture + standalone)."""
     from jolt_tpu.evm.fixtures import spartan_fixture
     fx = spartan_fixture(n=4)
     assert fx["steps_bits"] >= 1
