@@ -1,9 +1,10 @@
-"""Benchmark: sumcheck field-op throughput of the fused GP round kernel.
+"""Benchmark: sumcheck field-op throughput of the fused GP round kernel,
+plus a REAL end-to-end prove: sha2-chain on the full RV32I VM with
+HyperKZG (the reference's headline workload, bench.rs:212-246).
 
-Runs on whatever backend jax selects (real TPU under the driver).  Measures
-the batched-GKR cubic-round kernel — the prover's hottest loop (reference
-bench.rs is the Surge XOR prover benchmark whose cost is dominated by these
-rounds + MSM).  Prints ONE JSON line.
+Runs on whatever backend jax selects (real TPU under the driver).  Prints
+ONE JSON line; progress goes to stderr.  JOLT_BENCH_E2E=0 skips the e2e
+stage (kernel metric only).
 
 Baseline: multicore-rayon arkworks BN254 Fr multiplication throughput.
 arkworks Fr mul ~= 15-20M/s/core (measured widely; e.g. 65ns/mul), and the
@@ -18,7 +19,56 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def bench_e2e() -> dict:
+    """sha2-chain(1) full-VM prove+verify with HyperKZG on this backend."""
+    from jolt_tpu.commitment.hyperkzg import HyperKZG
+    from jolt_tpu.field import fr_spec
+    from jolt_tpu.vm.guests import sha2_chain_expected, sha2_chain_program
+    from jolt_tpu.vm.host import trace_program
+    from jolt_tpu.vm.rv32i_vm import rv32i_vm
+
+    spec = fr_spec()
+    vm = rv32i_vm(spec)
+    inputs = b"\x05" * 32
+    t0 = time.perf_counter()
+    steps, device, bytecode_rows = trace_program(
+        sha2_chain_program(1), vm, inputs=inputs)
+    trace_seconds = time.perf_counter() - t0
+    assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, 1)
+    _log(f"e2e: trace {len(steps)} steps in {trace_seconds:.2f}s")
+    n = vm.required_srs_len(device, steps, bytecode_rows)
+    t0 = time.perf_counter()
+    pcs = HyperKZG.setup(n)
+    _log(f"e2e: SRS 2^{n.bit_length() - 1} in {time.perf_counter() - t0:.1f}s")
+    pre = vm.preprocess(bytecode_rows, pcs)
+    t0 = time.perf_counter()
+    proof, commitments, _, _ = vm.prove(device, steps, pre)
+    prove_seconds = time.perf_counter() - t0
+    _log(f"e2e: prove {prove_seconds:.2f}s")
+    t0 = time.perf_counter()
+    vm.verify(pre, proof, commitments)
+    verify_seconds = time.perf_counter() - t0
+    _log(f"e2e: verify {verify_seconds:.2f}s")
+    return {
+        "e2e_workload": "sha2-chain(1) rv32i hyperkzg",
+        "e2e_trace_length": len(steps),
+        "e2e_prove_seconds": round(prove_seconds, 3),
+        "e2e_verify_seconds": round(verify_seconds, 3),
+    }
+
+
 def main():
+    try:  # LLVM JIT map exhaustion guard (no-op without privileges)
+        with open("/proc/sys/vm/max_map_count", "r+") as f:
+            if int(f.read()) < (1 << 21):
+                f.seek(0)
+                f.write(str(1 << 21))
+    except OSError:
+        pass
     import jax
     # persistent kernel cache: repeated bench runs skip the (slow, 1-core)
     # XLA/Mosaic compiles; harmless on a fresh machine
@@ -90,12 +140,18 @@ def main():
     muls = K * muls_layer
     ops_per_sec = muls / dt
     baseline = 5e8  # multicore-rayon arkworks Fr mul/s (see module docstring)
-    print(json.dumps({
+    out = {
         "metric": "gp_cubic_round_field_muls_per_sec",
         "value": round(ops_per_sec),
         "unit": "field-muls/s/chip",
         "vs_baseline": round(ops_per_sec / baseline, 4),
-    }))
+    }
+    if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
+        try:
+            out.update(bench_e2e())
+        except Exception as e:  # never lose the kernel metric
+            out["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -13,11 +13,36 @@ import time
 
 
 def _init_jax(platform: str | None):
+    import os
+    if platform == "cpu":
+        # correctness-drive mode: XLA:CPU compile time dominates on this
+        # class of host; back off backend optimizations (runtime is not
+        # what CPU runs measure). TPU runs are unaffected.
+        if "xla_backend_optimization_level" not in os.environ.get(
+                "XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_backend_optimization_level=0")
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def _make_pcs(name: str, spec, vm, device, steps, bytecode_rows):
+    """Construct the requested commitment scheme, sized to the trace.
+
+    hyperkzg is the production default of the reference (rv32i_vm.rs:228);
+    mock skips commitments entirely (test transcript parity only).
+    """
+    if name == "hyperkzg":
+        from .commitment.hyperkzg import HyperKZG
+        n = vm.required_srs_len(device, steps, bytecode_rows)
+        print(f"HyperKZG SRS length: {n}")
+        return HyperKZG.setup(n)
+    from .commitment import MockCommitmentScheme
+    return MockCommitmentScheme(spec)
 
 
 def cmd_prove_fib(args):
@@ -41,7 +66,8 @@ def cmd_prove_fib(args):
     steps, device, bytecode_rows = trace_program(
         program, vm, max_input_size=32, max_output_size=32)
     print(f"Trace length: {len(steps)}")
-    pcs = MockCommitmentScheme(spec)
+    pcs = _make_pcs(getattr(args, "pcs", "mock"), spec, vm, device, steps,
+                    bytecode_rows)
     pre = vm.preprocess(bytecode_rows, pcs)
     t0 = time.time()
     proof, commitments, pt, pacc = vm.prove(device, steps, pre)
@@ -135,7 +161,8 @@ def cmd_prove_sha2_chain(args):
     steps, device, bytecode_rows = trace_program(program, vm, inputs=inputs)
     assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, args.iters)
     print(f"Trace length: {len(steps)}")
-    pcs = MockCommitmentScheme(spec)
+    pcs = _make_pcs(getattr(args, "pcs", "mock"), spec, vm, device, steps,
+                    bytecode_rows)
     pre = vm.preprocess(bytecode_rows, pcs)
     t0 = time.time()
     proof, commitments, _, _ = vm.prove(device, steps, pre)
@@ -164,6 +191,12 @@ def cmd_prove_guest(args):
         from .vm.guests import sha3_chain_expected, sha3_chain_program
         inputs = b"\x05" * 32
         program = sha3_chain_program(args.n)
+    elif args.guest == "alloc":
+        from .vm.guests import alloc_sum_program
+        program = alloc_sum_program(args.n)
+    elif args.guest == "multi-function":
+        from .vm.guests import multi_function_program
+        program = multi_function_program(args.n)
     else:
         from .vm.guests import sha2_chain_expected, sha2_chain_program
         inputs = b"\x05" * 32
@@ -177,8 +210,19 @@ def cmd_prove_guest(args):
         assert bytes(device.outputs)[:32] == sha3_chain_expected(inputs, args.n)
     elif args.guest == "sha2-chain":
         assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, args.n)
+    elif args.guest == "alloc":
+        import struct
+        from .vm.guests import alloc_sum_expected
+        got = struct.unpack("<I", bytes(device.outputs)[:4])[0]
+        assert got == alloc_sum_expected(args.n)
+    elif args.guest == "multi-function":
+        import struct
+        from .vm.guests import multi_function_expected
+        got = struct.unpack("<I", bytes(device.outputs)[:4])[0]
+        assert got == multi_function_expected(args.n)
     print(f"Trace length: {len(steps)}")
-    pcs = MockCommitmentScheme(spec)
+    pcs = _make_pcs(getattr(args, "pcs", "mock"), spec, vm, device, steps,
+                    bytecode_rows)
     pre = vm.preprocess(bytecode_rows, pcs)
     t0 = time.time()
     proof, commitments, _, _ = vm.prove(device, steps, pre)
@@ -232,6 +276,7 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     f = sub.add_parser("prove-fib")
     f.add_argument("--n", type=int, default=8)
+    f.add_argument("--pcs", default="mock", choices=["mock", "hyperkzg"])
     f.add_argument("--profile", action="store_true",
                    help="print cumulative span timings (sum_timer.rs analog)")
     f.set_defaults(fn=cmd_prove_fib)
@@ -254,12 +299,15 @@ def main():
     an.set_defaults(fn=cmd_analyze)
     sh = sub.add_parser("prove-sha2-chain")
     sh.add_argument("--iters", type=int, default=1)
+    sh.add_argument("--pcs", default="mock", choices=["mock", "hyperkzg"])
     sh.set_defaults(fn=cmd_prove_sha2_chain)
     pg = sub.add_parser("prove-guest")
     pg.add_argument("--guest", default="collatz",
-                    choices=["collatz", "sha3-chain", "sha2-chain"])
+                    choices=["collatz", "sha3-chain", "sha2-chain",
+                             "alloc", "multi-function"])
     pg.add_argument("--n", type=int, default=1,
                     help="iterations (chains) or start value (collatz)")
+    pg.add_argument("--pcs", default="mock", choices=["mock", "hyperkzg"])
     pg.set_defaults(fn=cmd_prove_guest)
     args = p.parse_args()
     if args.jax_trace:

@@ -25,8 +25,8 @@ from ..poly.opening_proof import rlc_polys
 from ..transcript import Transcript
 from .base import BatchType, CommitShape
 from .kzg import (KZGProverKey, KZGVerifierKey, kzg_commit,
-                  kzg_commit_grand_product, kzg_open_no_rem,
-                  poly_eval_device, srs_setup)
+                  kzg_commit_batch, kzg_commit_grand_product,
+                  kzg_open_no_rem, poly_eval_device, srs_setup)
 
 FR = fr_spec()
 
@@ -82,7 +82,8 @@ class HyperKZG:
         if batch_type == BatchType.GRAND_PRODUCT:
             return [HyperKZGCommitment(kzg_commit_grand_product(self.pk, p))
                     for p in polys]
-        return [self.commit(p) for p in polys]
+        return [HyperKZGCommitment(p)
+                for p in kzg_commit_batch(self.pk, list(polys))]
 
     def combine_commitments(self, commitments: Sequence[HyperKZGCommitment],
                             coeffs: Sequence[FElt]) -> HyperKZGCommitment:
@@ -103,7 +104,7 @@ class HyperKZG:
             r_fold = fd.scalar_to_device(spec, point[ell - i - 1].v)
             polys.append(bind_bot(spec, polys[i], r_fold))
 
-        com = [kzg_commit(self.pk, p) for p in polys[1:]]
+        com = kzg_commit_batch(self.pk, polys[1:])
         transcript.append_points(com)
         r = transcript.challenge_scalar()
         u = [r, FElt(-r.v, spec), r * r]

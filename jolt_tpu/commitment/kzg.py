@@ -131,11 +131,15 @@ def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZ
 # ---------------------------------------------------------------------------
 
 def kzg_commit(pk: KZGProverKey, coeffs_mont: jnp.ndarray) -> G1Affine:
-    """Commit to coefficient vector (device MSM over the SRS prefix)."""
-    n = coeffs_mont.shape[-1]
-    X, Y, Z = pk.g1_jac
-    pts = (X[..., :n], Y[..., :n], Z[..., :n])
-    return _msm_jac(pts, coeffs_mont)
+    """Commit to coefficient vector (bitplane device MSM over the SRS)."""
+    return cd.msm_bitplane(pk.g1_jac, coeffs_mont, FR)
+
+
+def kzg_commit_batch(pk: KZGProverKey, polys: list) -> list[G1Affine]:
+    """Batch commit: all polynomials' scalar bit-planes share one kernel
+    stream over the same SRS bases (the ~90-column witness commit,
+    vm/mod.rs:393, is the reference prover's #1 cost)."""
+    return cd.batch_msm_bitplane(pk.g1_jac, list(polys), FR)
 
 
 @partial(jax.jit, static_argnums=())
@@ -176,17 +180,10 @@ def kzg_commit_grand_product(pk: KZGProverKey, coeffs_mont: jnp.ndarray
 
 
 def _msm_jac(points_jac, scalars_mont: jnp.ndarray) -> G1Affine:
-    """MSM accepting Jacobian device points (size-adaptive window count)."""
-    canonical = fd.from_mont_device(FR, scalars_mont)
-    wx, wy, wz = _msm_windows_jac(points_jac, canonical,
-                                  cd.scalar_max_windows(canonical))
-    windows = cd.jacobian_to_host(wx, wy, wz)
-    acc = G1Jacobian.identity()
-    for wpt in reversed(windows):
-        for _ in range(cd.MSM_WINDOW_BITS):
-            acc = acc.double()
-        acc = acc.add(wpt)
-    return acc.to_affine()
+    """MSM accepting Jacobian device points (bitplane, size-adaptive)."""
+    n = scalars_mont.shape[-1]
+    pts = tuple(t[..., :n] for t in points_jac)
+    return cd.msm_bitplane(pts, scalars_mont, FR)
 
 
 @partial(jax.jit, static_argnums=(2,))

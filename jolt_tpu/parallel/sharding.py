@@ -103,7 +103,8 @@ def shard_gp_pair_layers(mesh: Mesh, layers: list[tuple],
 # ---------------------------------------------------------------------------
 
 def sharded_msm_windows(mesh: Mesh, points_jac, scalar_limbs: jnp.ndarray,
-                        axis: str = "hc", n_windows: int | None = None):
+                        axis: str = "hc", n_windows: int | None = None,
+                        window_bits: int | None = None):
     """MSM window totals over a sharded point/scalar set.
 
     The single-device kernel sorts points by digit (curve/device.py) — a
@@ -115,10 +116,11 @@ def sharded_msm_windows(mesh: Mesh, points_jac, scalar_limbs: jnp.ndarray,
     (same on every shard).  Returns (X, Y, Z) [Lq, W] replicated.
     """
     from ..curve import device as cd
+    wb = window_bits or cd.MSM_WINDOW_BITS
 
     def step(px, py, pz, sl):
         inf = jnp.all(pz == 0, axis=0)
-        w = cd._msm_windows_impl(px, py, pz, inf, sl, n_windows)  # [L, W]
+        w = cd._msm_windows_impl(px, py, pz, inf, sl, n_windows, wb)  # [L, W]
         g = tuple(jnp.moveaxis(jax.lax.all_gather(t, axis), 0, -1)
                   for t in w)                               # [L, W, D]
         while g[0].shape[-1] > 1:
@@ -143,20 +145,22 @@ def sharded_msm_windows(mesh: Mesh, points_jac, scalar_limbs: jnp.ndarray,
 
 
 def sharded_msm(mesh: Mesh, points_jac, scalars_mont: jnp.ndarray,
-                spec_fr: FieldSpec | None = None, axis: str = "hc"):
+                spec_fr: FieldSpec | None = None, axis: str = "hc",
+                window_bits: int | None = None):
     """Full sharded MSM -> host G1Affine (windows on device, Horner on host)."""
     from ..curve import device as cd
     spec_fr = spec_fr or fr_spec()
+    wb = window_bits or cd.MSM_WINDOW_BITS
     canonical = fd.from_mont_device(spec_fr, scalars_mont)
-    n_windows = cd.scalar_max_windows(canonical)
+    n_windows = cd.scalar_max_windows(canonical, wb)
     pts = tuple(shard_hypercube(mesh, t, axis) for t in points_jac)
     scl = shard_hypercube(mesh, canonical, axis)
-    wx, wy, wz = sharded_msm_windows(mesh, pts, scl, axis, n_windows)
+    wx, wy, wz = sharded_msm_windows(mesh, pts, scl, axis, n_windows, wb)
     windows = cd.jacobian_to_host(wx, wy, wz)
     from ..curve.bn254 import G1Jacobian
     acc = G1Jacobian.identity()
     for wpt in reversed(windows):
-        for _ in range(cd.MSM_WINDOW_BITS):
+        for _ in range(wb):
             acc = acc.double()
         acc = acc.add(wpt)
     return acc.to_affine()

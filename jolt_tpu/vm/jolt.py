@@ -26,6 +26,7 @@ from . import instruction_lookups as il
 from . import r1cs as r1cs_mod
 from . import read_write_memory as rwm
 from . import timestamp_range_check as ts
+from .commit_layout import build_commit_layout
 from .rv_trace import (NUM_CIRCUIT_FLAGS, RAM_START_ADDRESS, JoltDevice)
 from .trace import JoltTraceStep, pad_trace
 
@@ -67,6 +68,32 @@ class JoltVM:
                                    if n in self.name_to_index]
         self.layout = r1cs_mod.build_input_layout(C,
                                                   len(self.instruction_classes))
+        self.num_aux = sum(1 for n in self.layout if n.startswith("aux_"))
+
+    def commit_layout(self, num_memories: int):
+        """Named commitment-ordering layout (shared by prove and verify)."""
+        return build_commit_layout(self.C, num_memories,
+                                   len(self.instruction_classes),
+                                   NUM_CIRCUIT_FLAGS, self.num_aux)
+
+    def required_srs_len(self, program_io: JoltDevice,
+                         trace: list[JoltTraceStep],
+                         bytecode_rows) -> int:
+        """Longest polynomial a real PCS must commit for this trace:
+        max(T, M [il final_cts], RAM memory_size, bytecode K)
+        (rv32i_vm.rs:228 sizes the HyperKZG SRS from the commit shapes)."""
+        from .read_write_memory import remap_address
+        T = next_power_of_two(len(trace))
+        layout = program_io.memory_layout
+        max_addr = 0
+        for s in trace:
+            for ch in range(3, 7):
+                a = s.memory_ops_addr[ch]
+                if a:
+                    max_addr = max(max_addr, remap_address(a, layout))
+        mem_size = next_power_of_two(layout.ram_witness_offset + max_addr)
+        k_bc = next_power_of_two(len(bytecode_rows) + 1)
+        return max(T, self.M, mem_size, k_bc)
 
     # -- preprocessing --------------------------------------------------------
     def preprocess(self, bytecode_rows: list[bc.BytecodeRow], pcs,
@@ -178,7 +205,7 @@ class JoltVM:
         builder, non_uniform = r1cs_mod.build_jolt_constraints(
             self.layout, self.C,
             RAM_START_ADDRESS - program_io.memory_layout.ram_witness_offset,
-            self.name_to_index)
+            self.name_to_index, log2_strict(self.M))
         key = r1cs_mod.UniformSpartanKey(self.layout, builder.constraints,
                                          non_uniform, T, spec)
 
@@ -202,6 +229,9 @@ class JoltVM:
         if_polys = (bc_polys.init_final_values()
                     + rwm_polys.init_final_values()
                     + il_polys.init_final_values())
+        lay = self.commit_layout(pre.instruction_lookups.num_memories)
+        lay.check_rw(rw_polys)
+        lay.check_if(if_polys)
         with span("JoltPolynomials::commit"):
             rw_commitments = pcs.batch_commit(rw_polys)
             if_commitments = pcs.batch_commit(if_polys)
@@ -263,7 +293,7 @@ class JoltVM:
         builder, non_uniform = r1cs_mod.build_jolt_constraints(
             self.layout, self.C,
             RAM_START_ADDRESS - program_io.memory_layout.ram_witness_offset,
-            self.name_to_index)
+            self.name_to_index, log2_strict(self.M))
         key = r1cs_mod.UniformSpartanKey(self.layout, builder.constraints,
                                          non_uniform, T, spec)
 
@@ -282,17 +312,14 @@ class JoltVM:
         bc_mc.verify_memory_checking(proof.bytecode, None, acc, transcript)
 
         # instruction lookups — route its commitments for opening appends
-        C = self.C
-        n_bc = 8
-        n_rwm_rw = 1 + 7 + 1 + 4 + 7 + 4
-        il_base = n_bc + n_rwm_rw
         m = pre.instruction_lookups.num_memories
-        ni = len(self.instruction_classes)
-        il_rw = rw_commitments[il_base: il_base + 2 * C + 2 * m + ni + 1]
+        lay = self.commit_layout(m)
+        lay.check_rw(rw_commitments)
+        lay.check_if(if_commitments)
         il_commit_map = {
-            "E": il_rw[C + m: C + 2 * m],
-            "flags": il_rw[C + 2 * m: C + 2 * m + ni],
-            "outputs": il_rw[C + 2 * m + ni],
+            "E": lay.rw(rw_commitments, "il_E"),
+            "flags": lay.rw(rw_commitments, "il_flags"),
+            "outputs": lay.rw1(rw_commitments, "il_outputs"),
         }
         il.verify_instruction_lookups(pre.instruction_lookups,
                                       proof.instruction_lookups,
@@ -301,48 +328,42 @@ class JoltVM:
         # registers/RAM + output sumcheck + timestamp validity
         rwm.verify_memory_checking(proof.read_write_memory.memory_checking_proof,
                                    transcript, spec)
-        v_final_commitment = if_commitments[1]  # [bc.t_final, v_final, t_final, ...]
+        v_final_commitment = lay.if1(if_commitments, "ram_v_final")
         rwm.verify_outputs(proof.read_write_memory.output_proof, program_io,
                            v_final_commitment, acc, transcript, spec)
-        ts_base = il_base + 2 * C + 2 * m + ni + 1
-        ts_commits = rw_commitments[ts_base: ts_base + 28]
-        rwm_t_read_commits = rw_commitments[n_bc + 13: n_bc + 20]
+        ts_commits = (lay.rw(rw_commitments, "ts_read_cts_read_timestamp")
+                      + lay.rw(rw_commitments, "ts_read_cts_global_minus_read")
+                      + lay.rw(rw_commitments, "ts_final_cts_read_timestamp")
+                      + lay.rw(rw_commitments,
+                               "ts_final_cts_global_minus_read"))
+        rwm_t_read_commits = lay.rw(rw_commitments, "ram_t_read")
         ts.verify_timestamp_validity(
             proof.read_write_memory.timestamp_validity_proof,
             ts_commits + rwm_t_read_commits, acc, transcript, spec)
 
         # Spartan — witness commitments in flatten order
-        witness_commitments = self._flattened_commitments(rw_commitments, m)
+        witness_commitments = self._flattened_commitments(rw_commitments, lay)
         r1cs_mod.spartan_verify(proof.r1cs, key, witness_commitments, acc,
                                 transcript, spec)
 
         acc.reduce_and_verify(pre.pcs, proof.opening_proof, transcript)
 
-    def _flattened_commitments(self, rw: list, m: int) -> list:
-        """Map committed polys (JoltStuff order) to r1cs flatten order.
-
-        rw layout: bytecode (a, v0..v5, t_read = 8) ‖ rwm (a_ram, 7 reads,
-        rd_write, 4 ram writes, 7 t_read, 4 t_write = 24) ‖ il (dim*C,
-        read_cts*m, E*m, flags*ni, outputs) ‖ ts (28) ‖ r1cs (chunks_x*C,
-        chunks_y*C, op_flags*12, aux*(9+C)).
-        """
-        C = self.C
-        ni = len(self.instruction_classes)
-        bc_base, rwm_base, il_base = 0, 8, 32
-        ts_base = il_base + C + 2 * m + ni + 1
-        r1cs_base = ts_base + 28
-        num_aux = 9 + C
-        out = [rw[bc_base]]
-        out += [rw[bc_base + 1 + i] for i in range(6)]
-        out.append(rw[rwm_base])
-        out += [rw[rwm_base + 1 + i] for i in range(7)]
-        out.append(rw[rwm_base + 8])
-        out += [rw[rwm_base + 9 + i] for i in range(4)]
-        out += [rw[il_base + i] for i in range(C)]            # chunks_query
-        out.append(rw[il_base + C + 2 * m + ni])              # lookup_output
-        out += [rw[r1cs_base + i] for i in range(2 * C + NUM_CIRCUIT_FLAGS)]
-        out += [rw[il_base + C + 2 * m + k] for k in range(ni)]  # instr flags
-        out += [rw[r1cs_base + 2 * C + NUM_CIRCUIT_FLAGS + i]
-                for i in range(num_aux)]
-        assert len(out) == len(self.layout)
+    def _flattened_commitments(self, rw: list, lay) -> list:
+        """Map committed polys (JoltStuff order) to r1cs flatten order,
+        by layout section name (inputs.rs JoltR1CSInputs flatten order)."""
+        out = [lay.rw1(rw, "bc_a_read_write")]
+        out += lay.rw(rw, "bc_v_read_write")
+        out.append(lay.rw1(rw, "ram_a"))
+        out += lay.rw(rw, "ram_v_read")
+        out.append(lay.rw1(rw, "ram_v_write_rd"))
+        out += lay.rw(rw, "ram_v_write_ram")
+        out += lay.rw(rw, "il_dim")                 # chunks_query
+        out.append(lay.rw1(rw, "il_outputs"))       # lookup_output
+        out += lay.rw(rw, "r1cs_chunks_x")
+        out += lay.rw(rw, "r1cs_chunks_y")
+        out += lay.rw(rw, "r1cs_circuit_flags")
+        out += lay.rw(rw, "il_flags")               # instruction flags
+        out += lay.rw(rw, "r1cs_aux")
+        assert len(out) == len(self.layout), \
+            "flattened commitment count disagrees with the r1cs input layout"
         return out

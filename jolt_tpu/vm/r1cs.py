@@ -214,12 +214,20 @@ class R1CSBuilder:
 # ---------------------------------------------------------------------------
 
 def build_jolt_constraints(layout: list[str], C: int, memory_start: int,
-                           instr_flag_map: dict[str, int]
+                           instr_flag_map: dict[str, int],
+                           log_M: int = LOG_M
                            ) -> tuple[R1CSBuilder, list[OffsetEqConstraint]]:
     """instr_flag_map: instruction name -> index into the instruction set
     (e.g. {"add": 0, "sub": 1, ...}); constraints referencing instructions
-    absent from the set are skipped (only relevant for reduced test VMs)."""
+    absent from the set are skipped (only relevant for reduced test VMs).
+
+    log_M parameterizes the chunk widths (constraints.rs is written for the
+    RV32I instantiation's LOG_M = 16; reduced test VMs use smaller tables,
+    and the chunking constraints must match the witness generator's
+    log_M-derived chunk sizes or honest witnesses fail — this bit round 1's
+    mini-VM CLI path)."""
     cs = R1CSBuilder(layout)
+    operand_size = log_M // 2
     num_instr = len([n for n in layout if n.startswith("instr_flag_")])
 
     def iflag(name):
@@ -269,7 +277,7 @@ def build_jolt_constraints(layout: list[str], C: int, memory_start: int,
                                 cs.var("lookup_output"))
 
     query_chunks = [cs.var(f"chunks_query_{i}") for i in range(C)]
-    packed_query = R1CSBuilder.pack_be(query_chunks, LOG_M)
+    packed_query = R1CSBuilder.pack_be(query_chunks, log_M)
 
     if iflag("add") is not None:
         cs.constrain_eq_conditional(iflag("add"), packed_query, x + y)
@@ -300,8 +308,8 @@ def build_jolt_constraints(layout: list[str], C: int, memory_start: int,
 
     x_chunks = [cs.var(f"chunks_x_{i}") for i in range(C)]
     y_chunks = [cs.var(f"chunks_y_{i}") for i in range(C)]
-    x_concat = R1CSBuilder.pack_be(x_chunks, OPERAND_SIZE)
-    y_concat = R1CSBuilder.pack_be(y_chunks, OPERAND_SIZE)
+    x_concat = R1CSBuilder.pack_be(x_chunks, operand_size)
+    y_concat = R1CSBuilder.pack_be(y_chunks, operand_size)
     cs.constrain_eq_conditional(oflag(CircuitFlags.ConcatLookupQueryChunks),
                                 x_concat, x)
     cs.constrain_eq_conditional(oflag(CircuitFlags.ConcatLookupQueryChunks),
@@ -317,7 +325,7 @@ def build_jolt_constraints(layout: list[str], C: int, memory_start: int,
                                        y_chunks[C - 1], y_chunks[i])
         cs.constrain_eq_conditional(
             oflag(CircuitFlags.ConcatLookupQueryChunks), query_chunks[i],
-            x_chunks[i] * (1 << 8) + relevant)
+            x_chunks[i] * (1 << operand_size) + relevant)
 
     rd_lookup = cs.allocate_prod("aux_write_lookup_output_to_rd",
                                  cs.var("bytecode_rd"),

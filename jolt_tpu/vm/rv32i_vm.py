@@ -40,6 +40,8 @@ def rv32i_vm(spec=None) -> JoltVM:
     return JoltVM(RV32I_INSTRUCTIONS, RV32I_SUBTABLES, C, M, spec=spec)
 
 
+
+
 def mini_vm(instruction_classes, subtable_order, M_mini: int = M,
             spec=None) -> JoltVM:
     """A reduced-instruction-set VM (small fused kernels for CI)."""

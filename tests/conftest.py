@@ -15,6 +15,19 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
 
+# LLVM's JIT mmaps one region per compiled kernel section; with hundreds of
+# kernels + persistent-cache loads a long pytest process exhausts the
+# default vm.max_map_count (65530), which surfaces as "LLVM compilation
+# error: Cannot allocate memory" followed by a SIGSEGV in the cache writer.
+# Raise it when we can (root in CI image); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < (1 << 21):
+            _f.seek(0)
+            _f.write(str(1 << 21))
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 # Default: local CPU with 8 virtual devices (sharding coverage, driver CI).

@@ -57,14 +57,16 @@ def test_jac_add_double_device():
         assert got[i].to_affine() == pts[i]
 
 
-@pytest.mark.parametrize("n", [8, 32])
-def test_msm_device_vs_host(n):
+def test_msm_device_vs_host():
+    """Full-width scalars through the sort-based window MSM (one size: the
+    32-window graph is the compile hog; the production bitplane path has
+    its own suite in test_msm_bitplane.py)."""
+    n = 8
     pts = _rand_points(n)
     scalars = [RNG.randrange(FR.p) for _ in range(n)]
     scalars[0] = 0
     scalars[1] = 1
-    if n > 8:
-        pts[2] = G1Affine.identity()
+    pts[2] = G1Affine.identity()
     dev_pts = cd.points_to_device(pts)
     s_mont = fd.ints_to_device(FR, scalars)
     got = cd.msm(dev_pts, s_mont, FR)

@@ -60,3 +60,22 @@ def test_rv32i_sha2_chain_e2e_mock():
     proof, device = _prove_verify(sha2_chain_program(1), inputs=inputs)
     assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, 1)
     assert proof.trace_length > 3000
+
+
+@pytest.mark.slow
+def test_rv32i_fib_e2e_hyperkzg():
+    """Full production VM with the production PCS (rv32i_vm.rs:228
+    RV32IJoltProof<Fr, HyperKZG<Bn254>>): every witness column is REALLY
+    committed (bitplane MSMs over a 2^16 SRS — final_cts lives at M) and
+    the reduced opening proof runs the real pairing check."""
+    from jolt_tpu.commitment.hyperkzg import HyperKZG
+    spec = fr_spec()
+    vm = rv32i_vm(spec)
+    steps, device, bytecode_rows = trace_program(fibonacci_program(8), vm)
+    n = vm.required_srs_len(device, steps, bytecode_rows)
+    assert n >= vm.M
+    pcs = HyperKZG.setup(n)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    proof, commitments, pt, pacc = vm.prove(device, steps, pre)
+    vm.verify(pre, proof, commitments, debug_transcript=pt,
+              debug_accumulator=pacc)
