@@ -75,6 +75,32 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # The axon tunnel has been observed to hang backend init indefinitely
+    # (device discovery retry loop).  A hung bench leaves NO artifact at
+    # all — fall back to CPU after a deadline so the driver always gets a
+    # JSON line (tagged with the backend it actually measured).
+    import signal
+    deadline = int(os.environ.get("JOLT_BENCH_BACKEND_TIMEOUT", "900"))
+
+    def _backend_timeout(signum, frame):
+        raise TimeoutError("backend init timed out")
+
+    backend = None
+    try:
+        signal.signal(signal.SIGALRM, _backend_timeout)
+        signal.alarm(deadline)
+        backend = jax.devices()[0].platform
+    except Exception as e:
+        _log(f"TPU backend init failed ({e}); falling back to CPU")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        backend = jax.devices()[0].platform
+    finally:
+        signal.alarm(0)
+    _log(f"backend: {backend}")
     import jax.numpy as jnp
     import numpy as np
     from jolt_tpu.field import device as fd, fr_spec
@@ -145,6 +171,7 @@ def main():
         "value": round(ops_per_sec),
         "unit": "field-muls/s/chip",
         "vs_baseline": round(ops_per_sec / baseline, 4),
+        "backend": backend,
     }
     if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
         try:

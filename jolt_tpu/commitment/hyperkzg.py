@@ -70,6 +70,27 @@ class HyperKZG:
         pk, vk = srs_setup(max_len, seed)
         return cls(pk, vk)
 
+    @classmethod
+    def from_srs(cls, g1_points, g2, beta_g2) -> "HyperKZG":
+        """Instantiate from imported SRS points (ceremony / persisted file;
+        see utils/ark_serialize.load_srs and kzg.srs_from_points)."""
+        from .kzg import srs_from_points
+        pk, vk = srs_from_points(g1_points, g2, beta_g2)
+        return cls(pk, vk)
+
+    def save_srs(self, path: str) -> None:
+        """Persist the SRS in ark-compatible bytes (rv32i_vm.rs:193-235
+        preprocessing persistence analog)."""
+        from ..utils.ark_serialize import save_srs
+        from .kzg import srs_g1_host
+        save_srs(path, srs_g1_host(self.pk), self.vk.g2, self.vk.beta_g2)
+
+    @classmethod
+    def load_srs(cls, path: str) -> "HyperKZG":
+        from ..utils.ark_serialize import load_srs
+        g1, g2, beta_g2 = load_srs(path)
+        return cls.from_srs(g1, g2, beta_g2)
+
     # -- commitments ---------------------------------------------------------
     def commit(self, poly: jnp.ndarray) -> HyperKZGCommitment:
         return HyperKZGCommitment(kzg_commit(self.pk, poly))

@@ -126,6 +126,23 @@ def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZ
     return KZGProverKey((X, Y, Z), n), vk
 
 
+def srs_from_points(g1_points: list[G1Affine], g2: G2Affine,
+                    beta_g2: G2Affine) -> tuple[KZGProverKey, KZGVerifierKey]:
+    """Build prover/verifier keys from an imported SRS (e.g. a ceremony
+    SRS loaded via utils/ark_serialize.load_srs — kzg.rs:22-84 loads ark
+    bytes the same way)."""
+    X, Y, inf = cd.points_to_device(g1_points)
+    one = fd.ones(cd.FQ, (len(g1_points),))
+    Z = jnp.where(jnp.asarray(inf)[None], jnp.zeros_like(one), one)
+    return (KZGProverKey((X, Y, Z), len(g1_points)),
+            KZGVerifierKey(g1_points[0], g2, beta_g2))
+
+
+def srs_g1_host(pk: KZGProverKey) -> list[G1Affine]:
+    """Pull the SRS G1 powers back to host affine points (persistence)."""
+    return [p.to_affine() for p in cd.jacobian_to_host(*pk.g1_jac)]
+
+
 # ---------------------------------------------------------------------------
 # commit / open / verify
 # ---------------------------------------------------------------------------

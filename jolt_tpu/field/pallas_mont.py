@@ -30,36 +30,50 @@ W = LIMB_BITS            # 16
 L = NUM_LIMBS            # 16
 NB = 512                 # elements per block (lane-dim multiple of 128)
 
+# JOLT_PALLAS_INTERPRET=1 runs every kernel through the Pallas interpreter
+# (any backend) — lets CPU CI check bit-parity of kernel changes without a
+# TPU in the loop.  lru_caches key only on (spec, shape); flip before use.
+import os as _os
+_INTERPRET = _os.environ.get("JOLT_PALLAS_INTERPRET", "") not in ("", "0")
+
 
 @functools.lru_cache(maxsize=None)
 def _collector_T(nl: int) -> np.ndarray:
-    """f32 [2*nl+1, nl*nl*2]: row k collects lo/hi product parts with
-    i+j(+1) == k (transposed collector of field/device.py)."""
+    """f32 [2*nl+1, nl*nl*4]: row k collects the four 8-BIT chunks of
+    product (i, j) with weights {1, 256} — chunks 0/1 (low 16 bits) land at
+    row i+j, chunks 2/3 at row i+j+1.  Every matrix entry (1 or 256 = 2^8)
+    and every input chunk (< 2^8) is bf16-EXACT, so the collector runs as a
+    SINGLE default-precision bf16 MXU pass instead of the 6-pass
+    Precision.HIGHEST f32 product the 16-bit-part formulation needed —
+    2x the MACs, ~3x fewer MXU cycles (docs/PERF.md gap #1)."""
     ncols = 2 * nl + 1
-    mat = np.zeros((ncols, nl * nl * 2), dtype=np.float32)
+    mat = np.zeros((ncols, nl * nl * 4), dtype=np.float32)
     for i in range(nl):
         for j in range(nl):
-            mat[i + j, (i * nl + j) * 2 + 0] = 1.0
-            mat[i + j + 1, (i * nl + j) * 2 + 1] = 1.0
+            base = (i * nl + j) * 4
+            mat[i + j, base + 0] = 1.0
+            mat[i + j, base + 1] = 256.0
+            mat[i + j + 1, base + 2] = 1.0
+            mat[i + j + 1, base + 3] = 256.0
     return mat
 
 
 def _products_cols(a, b, coll):
     """Column sums of the double-width product of two [L, NB] u32 limb
-    blocks -> [2L+1, NB] u32 (each < 2^22, exact in f32)."""
+    blocks -> [2L+1, NB] u32 (each < 2^22, exact in f32 accumulation)."""
     prod = a[:, None, :] * b[None, :, :]                  # [L, L, NB] u32
-    # Mosaic lacks u32<->f32 casts; round-trip through i32 (values < 2^22).
-    # Mask AFTER the shift: Mosaic may lower u32 >> as an arithmetic i32
-    # shift, sign-extending products with the top bit set.
-    lo = (prod & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
-    hi = ((prod >> W) & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+    # Mosaic lacks u32<->f32 casts; round-trip through i32.  Mask AFTER the
+    # shift: Mosaic may lower u32 >> as an arithmetic i32 shift,
+    # sign-extending products with the top bit set.
+    c = [(((prod >> (8 * k)) & 0xFF) if k else (prod & 0xFF))
+         .astype(jnp.int32).astype(jnp.float32) for k in range(4)]
     flat = jnp.concatenate(
-        [lo[:, :, None, :], hi[:, :, None, :]], axis=2
-    ).reshape(L * L * 2, -1)                              # [2L^2, NB]
+        [x[:, :, None, :] for x in c], axis=2
+    ).reshape(L * L * 4, -1)                              # [4L^2, NB]
     cols = jax.lax.dot_general(
-        coll, flat, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,              # exact f32 on MXU
-        preferred_element_type=jnp.float32)               # [2L+1, NB]
+        coll.astype(jnp.bfloat16), flat.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [2L+1, NB] exact
     return cols.astype(jnp.int32).astype(jnp.uint32)
 
 
@@ -115,6 +129,7 @@ def _mont_mul_call(spec: FieldSpec, n: int):
     full = lambda i: (0, 0)
     return pl.pallas_call(
         _mont_mul_kernel,
+        interpret=_INTERPRET,
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -123,7 +138,7 @@ def _mont_mul_call(spec: FieldSpec, n: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, NB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * L + 1, L * L * 2), full,
+                pl.BlockSpec((2 * L + 1, L * L * 4), full,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * L, 2 * L), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), full, memory_space=pltpu.VMEM),
@@ -133,7 +148,7 @@ def _mont_mul_call(spec: FieldSpec, n: int):
                                    memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (2 * L + 1) * (L * L * 2) * n,
+            flops=2 * (2 * L + 1) * (L * L * 4) * n,
             bytes_accessed=3 * L * n * 4,
             transcendentals=0,
         ),
@@ -311,11 +326,12 @@ def _mont_mul_bl_call(spec: FieldSpec, B: int, n: int):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _mont_mul_bl_kernel,
+        interpret=_INTERPRET,
         out_shape=jax.ShapeDtypeStruct((B, L, n), jnp.uint32),
         grid_spec=pl.GridSpec(
             grid=(B, n // NB),
             in_specs=[blk, blk,
-                      pl.BlockSpec((2 * L + 1, L * L * 2), full,
+                      pl.BlockSpec((2 * L + 1, L * L * 4), full,
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((2 * L, 2 * L), full,
                                    memory_space=pltpu.VMEM),
@@ -360,39 +376,74 @@ def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
 
     l*/r*: [B, L, mb] blocks cut from the lo/hi halves of the pair tensors
     purely by BlockSpec index maps; eq*: [L, mb]; cmats: [B, 4L, 2L] conv
-    matrices of the batching coefficients (scalar-mul fast path);
-    out: [1, L, 3] (summed over batch AND the block's pairs —
-    grand_product.rs:335-396 semantics, coefficient folded into `left`).
-    The fori_loop over the batch keeps the partial sums in registers and
-    compiles the mul body ONCE."""
+    matrices of the batching coefficients; out: [1, L, 3] (summed over
+    batch AND the block's pairs — grand_product.rs:335-396 semantics,
+    coefficient folded into `left`).
+
+    LAZY-CARRY batching (docs/PERF.md gap #2): the coefficient is applied
+    to the REDUCED products t_i = left_i * right_i via its conv matrix,
+    and the resulting 16-bit-weighted columns are accumulated RAW across
+    a group of 4 batch entries — c_b * t_b < p² per term, so a 4-term sum
+    stays < 4p² < R*p (REDC-valid) and < 2^32 per column (u32-safe).
+    One carry+REDC+add flushes each group, replacing the per-entry
+    scalar-multiply REDC (x2) and modular accumulate (x3) of the naive
+    ordering.  Mod-p result per group is identical, so the full batch sum
+    — and the transcript — is unchanged."""
     B = l0_ref.shape[0]
     mb = l0_ref.shape[2]
     coll = coll_ref[:]
     mnp = mnp_ref[:]
     mp = mp_ref[:]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
+    zero = jnp.zeros((L, mb), jnp.uint32)
+    zero_w = jnp.zeros((2 * L, mb), jnp.uint32)
 
-    def body(b, acc):
-        s0, s2, s3 = acc
+    def entry_raw(b):
+        """One batch entry's c_b-weighted product columns (raw [2L, mb])."""
         sl = lambda ref: ref[pl.ds(b, 1), :, :].reshape(L, mb)
         l0, l1, r0, r1 = sl(l0_ref), sl(l1_ref), sl(r0_ref), sl(r1_ref)
         mc = cmats_ref[pl.ds(b, 1), :, :].reshape(4 * L, 2 * L)
-        cl0 = _mul_scalar_k(mc, l0, p_l, mnp, mp)
-        cl1 = _mul_scalar_k(mc, l1, p_l, mnp, mp)
-        m_l = _fsub_k(cl1, cl0, p_l)
+        m_l = _fsub_k(l1, l0, p_l)
         m_r = _fsub_k(r1, r0, p_l)
-        le2 = _fadd_k(cl1, m_l, p_l)
+        le2 = _fadd_k(l1, m_l, p_l)
         le3 = _fadd_k(le2, m_l, p_l)
         re2 = _fadd_k(r1, m_r, p_l)
         re3 = _fadd_k(re2, m_r, p_l)
-        t0 = _mul_k(cl0, r0, coll, p_l, mnp, mp)
+        t0 = _mul_k(l0, r0, coll, p_l, mnp, mp)
         t2 = _mul_k(le2, re2, coll, p_l, mnp, mp)
         t3 = _mul_k(le3, re3, coll, p_l, mnp, mp)
-        return (_fadd_k(s0, t0, p_l), _fadd_k(s2, t2, p_l),
-                _fadd_k(s3, t3, p_l))
+        return tuple(_fold16(_dot8(mc, _split8_f(t)))
+                     for t in (t0, t2, t3))
 
-    zero = jnp.zeros((L, mb), jnp.uint32)
-    s0, s2, s3 = jax.lax.fori_loop(0, B, body, (zero, zero, zero))
+    def flush(acc, w):
+        """REDC a group's raw column sums and fold into the accumulators."""
+        out = []
+        for a, wi in zip(acc, w):
+            w33 = jnp.concatenate([wi, jnp.zeros((1, mb), jnp.uint32)],
+                                  axis=0)
+            out.append(_fadd_k(a, _redc8_k(_carry_wide(w33), mnp, mp, p_l),
+                               p_l))
+        return tuple(out)
+
+    n_groups, tail = divmod(B, 4)
+
+    def group_body(g, acc):
+        w = (zero_w, zero_w, zero_w)
+        for k in range(4):                     # static unroll inside a group
+            v = entry_raw(g * 4 + k)
+            w = tuple(a + x for a, x in zip(w, v))
+        return flush(acc, w)
+
+    acc = (zero, zero, zero)
+    if n_groups:
+        acc = jax.lax.fori_loop(0, n_groups, group_body, acc)
+    if tail:
+        w = (zero_w, zero_w, zero_w)
+        for k in range(tail):
+            v = entry_raw(n_groups * 4 + k)
+            w = tuple(a + x for a, x in zip(w, v))
+        acc = flush(acc, w)
+    s0, s2, s3 = acc
 
     eq0 = eq0_ref[:]
     eq1 = eq1_ref[:]
@@ -452,7 +503,7 @@ def _pair_specs(B: int, h: int):
     eqhi = pl.BlockSpec((L, GP_MB), lambda i: (0, hb + i),
                         memory_space=pltpu.VMEM)
     consts = [
-        pl.BlockSpec((2 * L + 1, L * L * 2), lambda i: (0, 0),
+        pl.BlockSpec((2 * L + 1, L * L * 4), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -472,6 +523,7 @@ def _gp_pair_evals_call(spec: FieldSpec, B: int, s: int):
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _gp_pair_evals_kernel,
+        interpret=_INTERPRET,
         out_shape=jax.ShapeDtypeStruct((nblocks, L, 3), jnp.uint32),
         grid=(nblocks,),
         in_specs=[lo, hi, lo, hi, eqlo, eqhi, cmats] + consts,
@@ -489,6 +541,7 @@ def _gp_pair_bind_call(spec: FieldSpec, B: int, s: int):
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _gp_pair_bind_kernel,
+        interpret=_INTERPRET,
         out_shape=(jax.ShapeDtypeStruct((B, L, h), jnp.uint32),
                    jax.ShapeDtypeStruct((B, L, h), jnp.uint32),
                    jax.ShapeDtypeStruct((L, h), jnp.uint32)),

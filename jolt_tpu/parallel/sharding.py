@@ -79,22 +79,39 @@ def sharded_gp_round(mesh: Mesh, spec: FieldSpec, l: jnp.ndarray,
 # jit-propagated sharding: shard the leaves once, let XLA insert collectives
 # ---------------------------------------------------------------------------
 
+def pad_batch_to(arr: jnp.ndarray, n_dev: int) -> jnp.ndarray:
+    """Pad the leading batch axis up to a multiple of n_dev with zero rows.
+
+    0 is a valid field element, so the pad rows flow through bind/product
+    kernels unchanged; provers neutralize them by padding the batching
+    COEFFICIENTS with zeros, which zeroes the pad rows' contribution to
+    every round evaluation (transcript-neutral)."""
+    B = arr.shape[0]
+    Bp = -(-B // n_dev) * n_dev
+    if Bp == B:
+        return arr
+    pad = jnp.zeros((Bp - B,) + arr.shape[1:], dtype=arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
 def maybe_shard_pair(mesh: Mesh, pair: tuple, axis: str = "hc") -> tuple:
-    """Shard a (l, r) pair layer on the batch axis when it divides the
-    mesh; otherwise replicate (the tensors are identical on every chip)."""
+    """Shard a (l, r) pair layer on the batch axis, zero-padding the batch
+    to the mesh size so sharding NEVER silently degrades to replication
+    (round-1 fallback replicated whenever B % n_devices != 0 — which real
+    Jolt batches usually are)."""
     n_dev = mesh.devices.size
     l, r = pair
-    if l.shape[0] % n_dev == 0:
-        return shard_batch(mesh, l, axis), shard_batch(mesh, r, axis)
-    repl = NamedSharding(mesh, P(*([None] * l.ndim)))
-    return jax.device_put(l, repl), jax.device_put(r, repl)
+    if l.shape[0] % n_dev:
+        l, r = pad_batch_to(l, n_dev), pad_batch_to(r, n_dev)
+    return shard_batch(mesh, l, axis), shard_batch(mesh, r, axis)
 
 
 def shard_gp_pair_layers(mesh: Mesh, layers: list[tuple],
                          axis: str = "hc") -> list[tuple]:
-    """Place a dense GP's pair layers batch-sharded.  All downstream round
-    kernels are ordinary jits — XLA partitions the local work and inserts
-    the cross-chip reductions for the [L, 3] round evaluations."""
+    """Place a dense GP's pair layers batch-sharded (batch zero-padded to
+    the mesh size).  All downstream round kernels are ordinary jits — XLA
+    partitions the local work and inserts the cross-chip reductions for
+    the [L, 3] round evaluations."""
     return [maybe_shard_pair(mesh, pair, axis) for pair in layers]
 
 
@@ -164,3 +181,52 @@ def sharded_msm(mesh: Mesh, points_jac, scalars_mont: jnp.ndarray,
             acc = acc.double()
         acc = acc.add(wpt)
     return acc.to_affine()
+
+
+# ---------------------------------------------------------------------------
+# sharded bitplane MSM: the production commit path (curve/device.py
+# batch_msm_bitplane) across chips
+# ---------------------------------------------------------------------------
+
+def sharded_msm_bitplane(mesh: Mesh, points_jac, scalars_mont: jnp.ndarray,
+                         spec_fr: FieldSpec | None = None, axis: str = "hc"):
+    """Bitplane MSM with the POINT axis sharded.
+
+    Each shard masked-tree-sums its point slice per scalar bit-plane
+    (log-depth dense Jacobian adds, zero data movement), then the tiny
+    [L, nbits] per-shard partials are all-gathered and tree-folded with
+    jac_add; the Horner double-and-add over bit-planes runs on host.
+    Unlike the window MSM, the per-shard graph is O(log n) point-ops deep —
+    this is what the multichip dryrun and the multi-chip commit path use.
+    """
+    from ..curve import device as cd
+
+    spec_fr = spec_fr or fr_spec()
+    canon = fd.from_mont_device(spec_fr, scalars_mont)
+    nbits = cd.scalar_max_bits(canon)
+    from ..field.spec import LIMB_BITS
+
+    def step(px, py, pz, sl):
+        masks = jnp.stack(
+            [(sl[b // LIMB_BITS] >> jnp.uint32(b % LIMB_BITS))
+             & jnp.uint32(1) for b in range(nbits)]).astype(bool)
+        s = cd._masked_tree_sum(px, py, pz, masks)         # ([L, nbits],)*3
+        g = tuple(jnp.moveaxis(jax.lax.all_gather(t, axis), 0, -1)
+                  for t in s)                              # [L, nbits, D]
+        while g[0].shape[-1] > 1:
+            half = g[0].shape[-1] // 2
+            g = cd.jac_add(tuple(t[..., :half] for t in g),
+                           tuple(t[..., half:] for t in g))
+        return tuple(t[..., 0] for t in g)
+
+    pts = tuple(shard_hypercube(mesh, t, axis) for t in points_jac)
+    scl = shard_hypercube(mesh, canon, axis)
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        check_rep=False)
+    sx, sy, sz = jax.jit(fn)(*pts, scl)
+    sums = cd.jacobian_to_host(sx, sy, sz)
+    return cd._horner_bits(sums).to_affine()

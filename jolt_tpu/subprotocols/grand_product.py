@@ -264,9 +264,14 @@ def _build_pair_tree(spec: FieldSpec, leaves: jnp.ndarray) -> list[tuple]:
 class BatchedDenseGrandProduct:
     """B independent grand products over 2^k leaves, proved jointly."""
 
-    def __init__(self, layers: list[tuple], spec: FieldSpec):
+    def __init__(self, layers: list[tuple], spec: FieldSpec,
+                 real_batch: int | None = None):
         self.layers = layers  # [(l, r)] pairs, layers[0] = leaves, bit-rev
         self.spec = spec
+        # batch size BEFORE mesh zero-padding (claims/proof entries cover
+        # only the real circuits; pad rows are neutralized by zero coeffs)
+        self.real_batch = real_batch if real_batch is not None \
+            else layers[0][0].shape[0]
 
     @staticmethod
     def construct(leaves: jnp.ndarray, spec: FieldSpec | None = None,
@@ -274,19 +279,21 @@ class BatchedDenseGrandProduct:
         """With `mesh`, the BATCH axis of every pair layer is sharded across
         the device mesh (each chip owns a subset of the batched circuits;
         binds are local, only the tiny [L, 3] round evaluations reduce
-        cross-chip).  Batches not divisible by the mesh replicate."""
+        cross-chip).  Batches are zero-padded to the mesh size — never
+        silently replicated."""
         spec = spec or fr_spec()
+        real_batch = leaves.shape[1]
         layers = _build_pair_tree(spec, leaves)
         if mesh is not None:
             from ..parallel.sharding import shard_gp_pair_layers
             layers = shard_gp_pair_layers(mesh, layers)
-        return BatchedDenseGrandProduct(layers, spec)
+        return BatchedDenseGrandProduct(layers, spec, real_batch)
 
     def num_layers(self) -> int:
         return len(self.layers)
 
     def claims(self) -> list[FElt]:
-        return _pair_claims(self.spec, self.layers[-1])
+        return _pair_claims(self.spec, self.layers[-1])[: self.real_batch]
 
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
@@ -306,13 +313,18 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
     left/right claims with a fresh challenge.
     """
     layer_proofs: list[BatchedGrandProductLayerProof] = []
+    n_real = len(claims)
     for l, r in reversed(layers):
         coeffs = transcript.challenge_vector(len(claims))
         joint_claim = FElt(0, spec)
         for c, co in zip(claims, coeffs):
             joint_claim = joint_claim + c * co
         coeffs_dev = jnp.stack(
-            [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
+            [fd.scalar_to_device(spec, c.v) for c in coeffs]
+            # mesh zero-padding: pad rows get coefficient 0, so every round
+            # evaluation is identical to the unpadded prover's
+            + [fd.scalar_to_device(spec, 0)] * (l.shape[0] - n_real),
+            axis=1)
 
         eq = eq_evals_device_br(
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
@@ -356,8 +368,10 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
 
         finals_l = fd.device_to_ints(spec, jnp.moveaxis(l, 0, 1)[..., 0])
         finals_r = fd.device_to_ints(spec, jnp.moveaxis(r, 0, 1)[..., 0])
-        left_claims = [FElt(int(v), spec) for v in finals_l.tolist()]
-        right_claims = [FElt(int(v), spec) for v in finals_r.tolist()]
+        left_claims = [FElt(int(v), spec)
+                       for v in finals_l.tolist()][:n_real]
+        right_claims = [FElt(int(v), spec)
+                        for v in finals_r.tolist()][:n_real]
 
         for lc, rc in zip(left_claims, right_claims):
             transcript.append_scalar(lc)

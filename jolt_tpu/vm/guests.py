@@ -509,3 +509,115 @@ def sha3_chain_expected(input_bytes: bytes, n_iters: int,
             from ..utils.keccak import keccak256
             h = keccak256(h)
     return h
+
+
+# ---------------------------------------------------------------------------
+# alloc (RAM-heavy) — examples/alloc analog
+# ---------------------------------------------------------------------------
+
+def alloc_sum_program(n: int, heap_base: int = RAM_START_ADDRESS + 0x200000):
+    """Heap workload: "allocate" an n-element u32 vector on a bump heap,
+    fill slot i with i*i (via repeated addition — no M extension), then
+    re-walk the vector summing it; outputs the LE u32 sum.
+
+    Mirrors examples/alloc/guest (a Vec fill+sum): the point is a RAM
+    footprint of 4n bytes far above the I/O region, so read_write_memory's
+    remap/v_final paths see real pressure instead of a handful of words.
+    """
+    from .rv_trace import (DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE,
+                           MemoryLayout)
+    ml = MemoryLayout(DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE)
+    asm = _Asm()
+    HP, I, NR, SQ, ACC, T1 = 5, 6, 7, 8, 9, 10
+    asm.li(HP, heap_base)      # bump pointer
+    asm.li(NR, n)
+    asm.li(I, 0)
+    asm.li(SQ, 0)              # i*i, maintained incrementally: +2i+1
+    asm.label("fill")
+    asm.emit(RV32IM.BEQ, rs1=I, rs2=NR, label="sum")
+    asm.slli(T1, I, 2)
+    asm.add(T1, HP, T1)
+    asm.sw(T1, SQ, 0)          # heap[i] = i*i
+    asm.slli(T1, I, 1)         # sq += 2i + 1  -> (i+1)^2
+    asm.add(SQ, SQ, T1)
+    asm.addi(SQ, SQ, 1)
+    asm.addi(I, I, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="fill")
+    asm.label("sum")
+    asm.li(I, 0)
+    asm.li(ACC, 0)
+    asm.label("sloop")
+    asm.emit(RV32IM.BEQ, rs1=I, rs2=NR, label="out")
+    asm.slli(T1, I, 2)
+    asm.add(T1, HP, T1)
+    asm.lw(T1, T1, 0)
+    asm.add(ACC, ACC, T1)
+    asm.addi(I, I, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="sloop")
+    asm.label("out")
+    asm.li(T1, ml.output_start)
+    asm.sw(T1, ACC, 0)
+    asm.label("halt")
+    asm.jal(0, "halt")
+    return asm.finish()
+
+
+def alloc_sum_expected(n: int) -> int:
+    return sum(i * i for i in range(n)) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# multi-function — examples/multi-function analog
+# ---------------------------------------------------------------------------
+
+def multi_function_program(n: int):
+    """Call-graph workload: main loops i=1..n calling square(i) and
+    double(i) through real JAL/JALR call+return linkage (ra = x1), summing
+    square(i) + double(i); outputs the LE u32 total.
+
+    Mirrors examples/multi-function/guest: many small functions, so the
+    bytecode read-set and PC flow (JALR with dynamic ra) dominate instead
+    of one straight-line loop body.
+    """
+    from .rv_trace import (DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE,
+                           MemoryLayout)
+    ml = MemoryLayout(DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE)
+    asm = _Asm()
+    RA, A0, A1 = 1, 10, 11     # standard link/arg/ret registers
+    I, NR, ACC, T1 = 5, 6, 7, 28
+    asm.li(I, 1)
+    asm.li(NR, n)
+    asm.li(ACC, 0)
+    asm.label("loop")
+    asm.mv(A0, I)
+    asm.emit(RV32IM.JAL, rd=RA, label="square")
+    asm.add(ACC, ACC, A1)
+    asm.mv(A0, I)
+    asm.emit(RV32IM.JAL, rd=RA, label="double")
+    asm.add(ACC, ACC, A1)
+    asm.addi(I, I, 1)
+    asm.emit(RV32IM.BGE, rs1=NR, rs2=I, label="loop")
+    asm.li(T1, ml.output_start)
+    asm.sw(T1, ACC, 0)
+    asm.label("halt")
+    asm.jal(0, "halt")
+    # square(a0) -> a1 via repeated addition (loop with its own registers)
+    asm.label("square")
+    asm.li(A1, 0)
+    asm.li(T1, 0)
+    asm.label("sq_loop")
+    asm.emit(RV32IM.BEQ, rs1=T1, rs2=A0, label="sq_done")
+    asm.add(A1, A1, A0)
+    asm.addi(T1, T1, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="sq_loop")
+    asm.label("sq_done")
+    asm.emit(RV32IM.JALR, rd=0, rs1=RA, imm=0)    # ret
+    # double(a0) -> a1
+    asm.label("double")
+    asm.add(A1, A0, A0)
+    asm.emit(RV32IM.JALR, rd=0, rs1=RA, imm=0)    # ret
+    return asm.finish()
+
+
+def multi_function_expected(n: int) -> int:
+    return sum(i * i + 2 * i for i in range(1, n + 1)) & 0xFFFFFFFF

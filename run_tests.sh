@@ -11,6 +11,12 @@ TMPOUT=$(mktemp)
 overall=0
 for f in $(ls tests/test_*.py); do
   start=$(date +%s)
+  # mesh/sharding files need 8 virtual devices; everything else runs
+  # single-device and shares the CLI compile cache (conftest.py).
+  case "$f" in
+    *test_sharding*) export JOLT_TEST_DEVICES=8 ;;
+    *) export JOLT_TEST_DEVICES=1 ;;
+  esac
   timeout 7200 python -m pytest "$f" -q -m "not slow" > "$TMPOUT" 2>&1
   rc=$?
   if [ $rc -ge 128 ]; then

@@ -12,8 +12,16 @@ Real-TPU benchmarking happens only through bench.py on the driver side.
 """
 import os
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8").strip()
+# Device count: default 1 — the full-VM e2e tests then SHARE the CLI's
+# single-device compile cache instead of recompiling every program for a
+# partitioned 8-device config (which made a cold fib e2e take >80 min on
+# this 1-core box).  Mesh/sharding tests opt into 8 virtual devices via
+# JOLT_TEST_DEVICES=8 (run_tests.sh sets it per-file; test_sharding.py
+# skips itself when fewer than 8 devices are present).
+_n_dev = os.environ.get("JOLT_TEST_DEVICES", "1")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_n_dev}").strip()
 
 # LLVM's JIT mmaps one region per compiled kernel section; with hundreds of
 # kernels + persistent-cache loads a long pytest process exhausts the

@@ -63,3 +63,30 @@ def test_keccak256_chain_guest_native():
     dev, _ = _run_native(program, inputs)
     assert bytes(dev.outputs)[:32] == sha3_chain_expected(inputs, 1,
                                                           pad_byte=0x01)
+
+
+def test_alloc_guest_native():
+    """Heap fill+sum (examples/alloc analog): 4n-byte RAM footprint above
+    the I/O region, output checked against the closed-form oracle."""
+    import struct
+
+    from jolt_tpu.vm.guests import alloc_sum_expected, alloc_sum_program
+    program = alloc_sum_program(256)
+    dev, n_rows = _run_native(program, b"")
+    assert struct.unpack("<I", bytes(dev.outputs)[:4])[0] == \
+        alloc_sum_expected(256)
+    assert not dev.panic
+    assert n_rows > 256 * 10
+
+
+def test_multi_function_guest_native():
+    """JAL/JALR call+return linkage (examples/multi-function analog)."""
+    import struct
+
+    from jolt_tpu.vm.guests import (multi_function_expected,
+                                    multi_function_program)
+    program = multi_function_program(9)
+    dev, _ = _run_native(program, b"")
+    assert struct.unpack("<I", bytes(dev.outputs)[:4])[0] == \
+        multi_function_expected(9)
+    assert not dev.panic
