@@ -23,22 +23,30 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_e2e() -> dict:
-    """sha2-chain(1) full-VM prove+verify with HyperKZG on this backend."""
+def bench_e2e(backend: str) -> dict:
+    """Full-VM prove+verify with HyperKZG on this backend: sha2-chain(1)
+    (the reference's headline, bench.rs:212-246) on TPU; on the CPU
+    FALLBACK (axon tunnel down) the same pipeline on the fib guest —
+    a 1-core host proving sha2-chain would time the box, not the
+    framework, and risk leaving no artifact at all."""
     from jolt_tpu.commitment.hyperkzg import HyperKZG
     from jolt_tpu.field import fr_spec
     from jolt_tpu.vm.guests import sha2_chain_expected, sha2_chain_program
-    from jolt_tpu.vm.host import trace_program
+    from jolt_tpu.vm.host import fibonacci_program, trace_program
     from jolt_tpu.vm.rv32i_vm import rv32i_vm
 
     spec = fr_spec()
     vm = rv32i_vm(spec)
-    inputs = b"\x05" * 32
+    small = backend == "cpu"
+    workload = "fib(8) rv32i hyperkzg [cpu fallback]" if small else \
+        "sha2-chain(1) rv32i hyperkzg"
+    inputs = b"" if small else b"\x05" * 32
+    program = fibonacci_program(8) if small else sha2_chain_program(1)
     t0 = time.perf_counter()
-    steps, device, bytecode_rows = trace_program(
-        sha2_chain_program(1), vm, inputs=inputs)
+    steps, device, bytecode_rows = trace_program(program, vm, inputs=inputs)
     trace_seconds = time.perf_counter() - t0
-    assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, 1)
+    if not small:
+        assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, 1)
     _log(f"e2e: trace {len(steps)} steps in {trace_seconds:.2f}s")
     n = vm.required_srs_len(device, steps, bytecode_rows)
     t0 = time.perf_counter()
@@ -54,7 +62,7 @@ def bench_e2e() -> dict:
     verify_seconds = time.perf_counter() - t0
     _log(f"e2e: verify {verify_seconds:.2f}s")
     return {
-        "e2e_workload": "sha2-chain(1) rv32i hyperkzg",
+        "e2e_workload": workload,
         "e2e_trace_length": len(steps),
         "e2e_prove_seconds": round(prove_seconds, 3),
         "e2e_verify_seconds": round(verify_seconds, 3),
@@ -175,7 +183,7 @@ def main():
     }
     if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
         try:
-            out.update(bench_e2e())
+            out.update(bench_e2e(backend))
         except Exception as e:  # never lose the kernel metric
             out["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(out))

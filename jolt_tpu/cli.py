@@ -197,10 +197,23 @@ def cmd_prove_guest(args):
     elif args.guest == "multi-function":
         from .vm.guests import multi_function_program
         program = multi_function_program(args.n)
-    else:
+    elif args.guest == "stdlib":
+        from .vm.guests import stdlib_program
+        program = stdlib_program(args.n)
+    elif args.guest == "muldiv":
+        from .vm.guests import muldiv_program
+        program = muldiv_program()
+    elif args.guest == "fibonacci":
+        from .vm.host import fibonacci_program
+        program = fibonacci_program(args.n)
+    elif args.guest == "sha3-ex":  # examples/sha3-ex: single-shot keccak
+        from .vm.guests import sha3_chain_expected, sha3_chain_program
+        inputs = b"\x05" * 32
+        program = sha3_chain_program(1)
+    else:  # sha2-chain / sha2-ex (examples/sha2-ex = single-shot sha2)
         from .vm.guests import sha2_chain_expected, sha2_chain_program
         inputs = b"\x05" * 32
-        program = sha2_chain_program(args.n)
+        program = sha2_chain_program(1 if args.guest == "sha2-ex" else args.n)
 
     profiling.enable()
     spec = fr_spec()
@@ -220,6 +233,19 @@ def cmd_prove_guest(args):
         from .vm.guests import multi_function_expected
         got = struct.unpack("<I", bytes(device.outputs)[:4])[0]
         assert got == multi_function_expected(args.n)
+    elif args.guest == "stdlib":
+        from .vm.guests import stdlib_expected
+        want = stdlib_expected(args.n)
+        assert bytes(device.outputs)[:len(want)] == want
+    elif args.guest == "muldiv":
+        import struct
+        from .vm.guests import muldiv_expected
+        got = struct.unpack("<I", bytes(device.outputs)[:4])[0]
+        assert got == muldiv_expected()
+    elif args.guest == "sha2-ex":
+        assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, 1)
+    elif args.guest == "sha3-ex":
+        assert bytes(device.outputs)[:32] == sha3_chain_expected(inputs, 1)
     print(f"Trace length: {len(steps)}")
     pcs = _make_pcs(getattr(args, "pcs", "mock"), spec, vm, device, steps,
                     bytecode_rows)
@@ -304,7 +330,8 @@ def main():
     pg = sub.add_parser("prove-guest")
     pg.add_argument("--guest", default="collatz",
                     choices=["collatz", "sha3-chain", "sha2-chain",
-                             "alloc", "multi-function"])
+                             "alloc", "multi-function", "stdlib",
+                             "fibonacci", "sha2-ex", "sha3-ex", "muldiv"])
     pg.add_argument("--n", type=int, default=1,
                     help="iterations (chains) or start value (collatz)")
     pg.add_argument("--pcs", default="mock", choices=["mock", "hyperkzg"])

@@ -157,6 +157,14 @@ class HyraxScheme:
         assert derived == product and dot == opening, \
             "Hyrax opening verification failed"
 
+    def prove_batched(self, polys: Sequence[jnp.ndarray],
+                      opening_point: Sequence[FElt],
+                      openings: Sequence[FElt], transcript: Transcript,
+                      batch_type: BatchType = BatchType.BIG
+                      ) -> "BatchedHyraxOpeningProof":
+        return BatchedHyraxOpeningProof.prove(
+            self, polys, opening_point, openings, batch_type, transcript)
+
     def combine_commitments(self, commitments, coeffs):
         max_rows = max(len(c.row_commitments) for c in commitments)
         from ..curve.bn254 import G1Jacobian
@@ -170,3 +178,61 @@ class HyraxScheme:
                         acc = acc.add(p.to_jacobian().mul(co.v))
             rows.append(acc.to_affine())
         return HyraxCommitment(rows)
+
+
+@dataclass
+class BatchedHyraxOpeningProof:
+    """RLC batch opening (hyrax.rs:359-505, Thaler PAZK §16.1).
+
+    K polynomials opened at one point collapse into a single Hyrax opening
+    of their random linear combination; the verifier re-derives the RLC
+    commitment homomorphically from the per-polynomial row commitments.
+    The RLC itself is one device pass: a [K]-coefficient weighted modular
+    sum over stacked [L, K, n] limb tensors.
+    """
+    joint_proof: HyraxOpeningProof
+    ratio: int
+
+    @staticmethod
+    def protocol_name() -> bytes:
+        return b"Jolt BatchedHyraxOpeningProof"
+
+    @staticmethod
+    def prove(scheme: HyraxScheme, polys: Sequence[jnp.ndarray],
+              opening_point: Sequence[FElt], openings: Sequence[FElt],
+              batch_type: BatchType, transcript: Transcript
+              ) -> "BatchedHyraxOpeningProof":
+        spec = scheme.spec
+        transcript.append_protocol_name(
+            BatchedHyraxOpeningProof.protocol_name())
+        transcript.append_scalars(openings)
+        coeffs = transcript.challenge_vector(len(polys))
+        stacked = jnp.stack(tuple(polys), axis=1)          # [L, K, n]
+        c_dev = jnp.stack([fd.scalar_to_device(spec, c.v) for c in coeffs],
+                          axis=1)                          # [L, K]
+        weighted = fd.fmul(spec, stacked,
+                           jnp.broadcast_to(c_dev[:, :, None], stacked.shape))
+        rlc = fd.fsum(spec, weighted, axis=0)  # logical K axis -> [L, n]
+        ratio = batch_type_to_ratio(batch_type)
+        joint = scheme.prove(rlc, opening_point, transcript, ratio)
+        return BatchedHyraxOpeningProof(joint, ratio)
+
+    def verify(self, scheme: HyraxScheme, opening_point: Sequence[FElt],
+               openings: Sequence[FElt],
+               commitments: Sequence[HyraxCommitment],
+               transcript: Transcript) -> None:
+        spec = scheme.spec
+        assert len(openings) == len(commitments)
+        l_size, _ = matrix_dimensions(len(opening_point), self.ratio)
+        for i, c in enumerate(commitments):
+            assert len(c.row_commitments) == l_size, \
+                f"Row commitment {i}/{len(commitments)} wrong length"
+        transcript.append_protocol_name(self.protocol_name())
+        transcript.append_scalars(openings)
+        coeffs = transcript.challenge_vector(len(openings))
+        rlc_eval = FElt(0, spec)
+        for c, o in zip(coeffs, openings):
+            rlc_eval = rlc_eval + c * o
+        rlc_commitment = scheme.combine_commitments(commitments, coeffs)
+        scheme.verify(self.joint_proof, transcript, opening_point, rlc_eval,
+                      rlc_commitment, self.ratio)

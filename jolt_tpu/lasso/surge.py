@@ -258,10 +258,16 @@ def generate_witness(pre: SurgePreprocessing, x: np.ndarray, y: np.ndarray
     return polys, indices
 
 
-def surge_prove(pre: SurgePreprocessing, pcs, x: np.ndarray, y: np.ndarray
+def surge_prove(pre: SurgePreprocessing, pcs, x: np.ndarray, y: np.ndarray,
+                mesh=None
                 ) -> tuple[SurgeProof, Transcript, ProverOpeningAccumulator]:
     """Prove N lookups (surge.rs:378-480).  Returns (proof, transcript, acc)
-    — transcript/accumulator returned as the debug oracle (ProverDebugInfo)."""
+    — transcript/accumulator returned as the debug oracle (ProverDebugInfo).
+
+    With `mesh`, the primary sumcheck's E/eq MLEs are sharded on the
+    HYPERCUBE axis across the device mesh (the reference's rayon axis,
+    SURVEY §2.8 — here GSPMD partitions the round kernels and all-reduces
+    the [L, degree+1] evals); transcript-identical to the unsharded path."""
     spec = pre.spec
     C, M = pre.C, pre.M
     transcript = Transcript(b"Surge transcript")
@@ -289,8 +295,12 @@ def surge_prove(pre: SurgePreprocessing, pcs, x: np.ndarray, y: np.ndarray
     transcript.append_scalar(sumcheck_claim)
 
     degree = instr.g_poly_degree(C) + 1
+    sc_polys = e_list + (eq,)
+    if mesh is not None:
+        from ..parallel.sharding import shard_sumcheck_polys
+        sc_polys = shard_sumcheck_polys(mesh, sc_polys)
     proof_primary, r_z, final_evals = prove_arbitrary(
-        num_rounds, e_list + (eq,), comb, degree, transcript, spec)
+        num_rounds, sc_polys, comb, degree, transcript, spec)
     e_openings = final_evals[:-1]
     # Fork parity: E-poly opening accumulation disabled (surge.rs:440-447).
 

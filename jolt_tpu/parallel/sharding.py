@@ -230,3 +230,33 @@ def sharded_msm_bitplane(mesh: Mesh, points_jac, scalars_mont: jnp.ndarray,
     sx, sy, sz = jax.jit(fn)(*pts, scl)
     sums = cd.jacobian_to_host(sx, sy, sz)
     return cd._horner_bits(sums).to_affine()
+
+
+# ---------------------------------------------------------------------------
+# hypercube-axis sharding: the 2^k MLE dimension (SURVEY §5, §7.9)
+# ---------------------------------------------------------------------------
+
+def shard_sumcheck_polys(mesh: Mesh, polys, axis: str = "hc"):
+    """Place generic-sumcheck MLE limb tensors [L, ..., n] with the
+    HYPERCUBE axis n sharded across the mesh.
+
+    Downstream round kernels (subprotocols/sumcheck._round_evals /
+    _bind_all) are ordinary jits: GSPMD partitions the shard-local
+    evaluate+bind work and inserts the modular-sum all-reduce for the tiny
+    [L, degree+1] round evaluations.  Top-binding halves n each round; the
+    halves remain aligned to the shard grid until n < n_dev, after which
+    XLA's propagation degrades to (correct) replication — by then the
+    tensors are tiny.  Tensors too small to split (n < 2 * n_dev) are
+    replicated outright, LOUDLY."""
+    import sys
+    n_dev = mesh.devices.size
+    out = []
+    for p in polys:
+        if p.shape[-1] % n_dev == 0 and p.shape[-1] >= 2 * n_dev:
+            out.append(shard_hypercube(mesh, p, axis))
+        else:
+            print(f"[sharding] hypercube axis {p.shape[-1]} not divisible "
+                  f"by mesh size {n_dev}; replicating", file=sys.stderr)
+            out.append(jax.device_put(
+                p, NamedSharding(mesh, P(*([None] * p.ndim)))))
+    return tuple(out)

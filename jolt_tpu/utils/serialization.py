@@ -346,3 +346,62 @@ def deserialize_jolt_proof_with_commitments(data: bytes):
     inf = [HyperKZGCommitment(p) for p in r.points()]
     assert r.buf.read() == b"", "trailing bytes"
     return proof, {"read_write": rw, "init_final": inf}
+
+
+# -- preprocessing persistence (rv32i_vm.rs:193-235 analog) ------------------
+#
+# The reference serializes the fully-expanded JoltPreprocessing.  Here the
+# preprocessing tensors are DERIVED deterministically on device from small
+# seed data (bytecode rows + memory image + VM params), so persistence
+# stores the seed data and rebuilds on load — smaller files, same
+# semantics, and the rebuild path is the already-tested preprocess().
+# The SRS persists separately in ark-compatible bytes
+# (commitment/hyperkzg.save_srs / utils/ark_serialize.py).
+
+def serialize_preprocessing_seed(bytecode_rows, memory_init: bytes,
+                                 min_bytecode_address: int,
+                                 max_input_size: int,
+                                 max_output_size: int) -> bytes:
+    w = Writer()
+    w.u64(min_bytecode_address)
+    w.u64(max_input_size)
+    w.u64(max_output_size)
+    w.u64(len(memory_init))
+    w.buf.write(memory_init)
+    w.u64(len(bytecode_rows))
+    for row in bytecode_rows:
+        w.u64(row.address)
+        w.u64(row.bitflags)
+        w.u64(row.rd)
+        w.u64(row.rs1)
+        w.u64(row.rs2)
+        w.u64(row.imm & 0xFFFFFFFFFFFFFFFF)
+        has_vsr = row.virtual_sequence_remaining is not None
+        w.u64(1 + row.virtual_sequence_remaining if has_vsr else 0)
+    return w.getvalue()
+
+
+def deserialize_preprocessing_seed(data: bytes):
+    """-> (bytecode_rows, memory_init, min_bytecode_address,
+           max_input_size, max_output_size)"""
+    from ..vm.bytecode import BytecodeRow
+    r = Reader(data)
+    min_addr = r.u64()
+    max_in = r.u64()
+    max_out = r.u64()
+    mem_len = r.u64()
+    memory_init = r.buf.read(mem_len)
+    n = r.u64()
+    rows = []
+    for _ in range(n):
+        address = r.u64()
+        bitflags = r.u64()
+        rd, rs1, rs2 = r.u64(), r.u64(), r.u64()
+        imm = r.u64()
+        if imm >= 1 << 63:
+            imm -= 1 << 64
+        vsr = r.u64()
+        rows.append(BytecodeRow(address, bitflags, rd, rs1, rs2, imm,
+                                vsr - 1 if vsr else None))
+    assert r.buf.read() == b"", "trailing bytes in preprocessing seed"
+    return rows, memory_init, min_addr, max_in, max_out

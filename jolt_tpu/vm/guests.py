@@ -621,3 +621,107 @@ def multi_function_program(n: int):
 
 def multi_function_expected(n: int) -> int:
     return sum(i * i + 2 * i for i in range(1, n + 1)) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# stdlib — examples/stdlib analog (string_concat: decimal formatting onto a
+# heap-grown string)
+# ---------------------------------------------------------------------------
+
+def stdlib_program(n: int, heap_base: int = RAM_START_ADDRESS + 0x200000):
+    """examples/stdlib/guest string_concat(n) analog: builds the
+    concatenation of the decimal strings "0".."n-1" in a heap buffer —
+    per-i digit extraction via division-by-10 (repeated subtraction; no M
+    extension), reversed digit append, byte loads/stores throughout — and
+    copies the final string to the output region.  The point, as in the
+    reference, is byte-granular heap string growth (Rust String ops
+    lowered to RV32I)."""
+    from .rv_trace import (DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE,
+                           MemoryLayout)
+    ml = MemoryLayout(DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE)
+    asm = _Asm()
+    HP, LEN, I, NR = 5, 6, 7, 8        # string buf, string len, loop i, n
+    V, Q, D, TMP, T1, T2, TEN = 9, 10, 11, 12, 13, 14, 15
+    asm.li(HP, heap_base)
+    asm.li(TMP, heap_base + 0x10000)   # reversed-digit scratch
+    asm.li(NR, n)
+    asm.li(TEN, 10)
+    asm.li(LEN, 0)
+    asm.li(I, 0)
+    asm.label("iloop")
+    asm.emit(RV32IM.BEQ, rs1=I, rs2=NR, label="emit_out")
+    asm.mv(V, I)
+    asm.li(D, 0)
+    asm.label("digits")                # do { extract V%10 } while V
+    asm.li(Q, 0)
+    asm.label("div10")                 # Q = V/10, V = V%10
+    asm.emit(RV32IM.BLTU, rs1=V, rs2=TEN, label="div_done")
+    asm.addi(V, V, -10)
+    asm.addi(Q, Q, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="div10")
+    asm.label("div_done")
+    asm.addi(V, V, 0x30)               # ASCII digit
+    asm.add(T1, TMP, D)
+    asm.sb(T1, V, 0)
+    asm.addi(D, D, 1)
+    asm.mv(V, Q)
+    asm.emit(RV32IM.BNE, rs1=V, rs2=0, label="digits")
+    asm.label("append")                # append TMP[D-1..0] to string
+    asm.emit(RV32IM.BEQ, rs1=D, rs2=0, label="inext")
+    asm.addi(D, D, -1)
+    asm.add(T1, TMP, D)
+    asm.lbu(T2, T1, 0)
+    asm.add(T1, HP, LEN)
+    asm.sb(T1, T2, 0)
+    asm.addi(LEN, LEN, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="append")
+    asm.label("inext")
+    asm.addi(I, I, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="iloop")
+    asm.label("emit_out")              # copy string to output region
+    asm.li(T1, ml.output_start)
+    asm.li(D, 0)
+    asm.label("copy")
+    asm.emit(RV32IM.BEQ, rs1=D, rs2=LEN, label="halt")
+    asm.add(T2, HP, D)
+    asm.lbu(V, T2, 0)
+    asm.add(T2, T1, D)
+    asm.sb(T2, V, 0)
+    asm.addi(D, D, 1)
+    asm.emit(RV32IM.JAL, rd=0, label="copy")
+    asm.label("halt")
+    asm.jal(0, "halt")
+    return asm.finish()
+
+
+def stdlib_expected(n: int) -> bytes:
+    return "".join(str(i) for i in range(n)).encode()
+
+
+# ---------------------------------------------------------------------------
+# muldiv — examples/muldiv analog (M-extension a*b/c, virtual sequences)
+# ---------------------------------------------------------------------------
+
+def muldiv_program(a: int = 123, b: int = 45, c: int = 7):
+    """examples/muldiv guest analog: computes a*b/c with real M-extension
+    MUL/DIVU (each expanding into its virtual instruction sequence in the
+    trace, vm/virtual_sequences.py) and writes the LE u32 quotient to the
+    output region."""
+    from .rv_trace import (DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE,
+                           MemoryLayout)
+    ml = MemoryLayout(DEFAULT_MAX_INPUT_SIZE, DEFAULT_MAX_OUTPUT_SIZE)
+    asm = _Asm()
+    asm.li(1, a)
+    asm.li(2, b)
+    asm.li(3, c)
+    asm.emit(RV32IM.MUL, rd=4, rs1=1, rs2=2)
+    asm.emit(RV32IM.DIVU, rd=5, rs1=4, rs2=3)
+    asm.li(6, ml.output_start)
+    asm.sw(6, 5, 0)
+    asm.label("halt")
+    asm.jal(0, "halt")
+    return asm.finish()
+
+
+def muldiv_expected(a: int = 123, b: int = 45, c: int = 7) -> int:
+    return ((a * b) & 0xFFFFFFFF) // c

@@ -22,6 +22,11 @@ _n_dev = os.environ.get("JOLT_TEST_DEVICES", "1")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + f" --xla_force_host_platform_device_count={_n_dev}").strip()
+# NOTE on cache keys: do NOT try to unify pytest and CLI cache entries by
+# aligning XLA flags — the device-count flag above is part of the key and
+# the CLI doesn't set it, so they can never match; adding flags here only
+# invalidates the (hours-deep) existing pytest cache.  The two key spaces
+# stay separate and each stays warm.
 
 # LLVM's JIT mmaps one region per compiled kernel section; with hundreds of
 # kernels + persistent-cache loads a long pytest process exhausts the

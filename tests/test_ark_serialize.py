@@ -105,3 +105,37 @@ def test_hyperkzg_srs_persistence_roundtrip(tmp_path):
     assert srs_g1_host(back.pk) == pts
     assert back.vk.g2 == g2 and back.vk.beta_g2 == beta_g2
     assert back.pk.n == 8
+
+
+def test_preprocessing_seed_roundtrip():
+    """Preprocessing persistence (rv32i_vm.rs:193-235 analog): the seed
+    data (bytecode rows + memory image + layout params) round-trips and
+    rebuilds an identical preprocessing."""
+    from jolt_tpu.field import fr_spec
+    from jolt_tpu.utils.serialization import (
+        deserialize_preprocessing_seed, serialize_preprocessing_seed)
+    from jolt_tpu.vm.bytecode import BytecodeRow
+    from jolt_tpu.vm.guests import collatz_program
+    from jolt_tpu.vm.host import _lookup_name
+    from jolt_tpu.vm.rv32i_vm import rv32i_vm
+    from jolt_tpu.vm.virtual_sequences import expand_bytecode
+
+    program = collatz_program(7)
+    vm = rv32i_vm(fr_spec())
+    ni = len(vm.instruction_classes)
+    bytecode_rows = [
+        BytecodeRow.from_instruction(i, vm.name_to_index.get(_lookup_name(i)),
+                                     ni)
+        for i in expand_bytecode(program)]
+    blob = serialize_preprocessing_seed(
+        bytecode_rows, b"\x01\x02", 0x80000000, 64, 32)
+    rows2, mem2, min_addr, max_in, max_out = \
+        deserialize_preprocessing_seed(blob)
+    assert (mem2, min_addr, max_in, max_out) == (b"\x01\x02", 0x80000000,
+                                                 64, 32)
+    assert len(rows2) == len(bytecode_rows)
+    for a, b in zip(bytecode_rows, rows2):
+        assert (a.address, a.bitflags, a.rd, a.rs1, a.rs2, a.imm,
+                a.virtual_sequence_remaining) == \
+               (b.address, b.bitflags, b.rd, b.rs1, b.rs2, b.imm,
+                b.virtual_sequence_remaining)

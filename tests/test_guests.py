@@ -90,3 +90,26 @@ def test_multi_function_guest_native():
     assert struct.unpack("<I", bytes(dev.outputs)[:4])[0] == \
         multi_function_expected(9)
     assert not dev.panic
+
+
+def test_stdlib_guest_native():
+    """Decimal string_concat (examples/stdlib analog): byte-granular heap
+    string growth, div-by-10 via subtraction, output vs str() oracle."""
+    from jolt_tpu.vm.guests import stdlib_expected, stdlib_program
+    program = stdlib_program(13)
+    dev, n_rows = _run_native(program, b"")
+    want = stdlib_expected(13)
+    assert bytes(dev.outputs)[:len(want)] == want
+    assert not dev.panic
+    assert n_rows > 13 * 10
+
+
+def test_muldiv_guest_native():
+    """M-extension a*b/c (examples/muldiv analog), output checked."""
+    import struct
+
+    from jolt_tpu.vm.guests import muldiv_expected, muldiv_program
+    dev, _ = _run_native(muldiv_program(), b"")
+    assert struct.unpack("<I", bytes(dev.outputs)[:4])[0] == \
+        muldiv_expected()
+    assert not dev.panic

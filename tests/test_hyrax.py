@@ -29,3 +29,35 @@ def test_hyrax_open_verify():
         raise SystemExit("bad hyrax opening must fail")
     except AssertionError:
         pass
+
+
+def test_hyrax_batched_open_verify():
+    """BatchedHyraxOpeningProof (hyrax.rs:359-505): K polys, one point,
+    one joint RLC opening; verifier re-derives the RLC commitment
+    homomorphically. Includes a tampered-opening rejection."""
+    from jolt_tpu.commitment.base import BatchType
+    from jolt_tpu.commitment.hyrax import BatchedHyraxOpeningProof
+
+    pcs = HyraxScheme.setup(16)
+    K, n = 3, 16
+    all_ints = [[RNG.randrange(FR.p) for _ in range(n)] for _ in range(K)]
+    polys = [mle.mle_from_ints(FR, ints) for ints in all_ints]
+    point = [fr(RNG.randrange(FR.p)) for _ in range(4)]
+    openings = [mle.evaluate_host([fr(v) for v in ints], point)
+                for ints in all_ints]
+    coms = [pcs.commit(p) for p in polys]
+
+    pt = Transcript(b"hxb")
+    proof = pcs.prove_batched(polys, point, openings, pt,
+                              BatchType.SMALL)
+    vt = Transcript(b"hxb")
+    proof.verify(pcs, point, openings, coms, vt)
+    vt.compare_to(pt)
+
+    bad = list(openings)
+    bad[1] = bad[1] + fr(1)
+    try:
+        proof.verify(pcs, point, bad, coms, Transcript(b"hxb"))
+        raise SystemExit("tampered batched hyrax opening must fail")
+    except AssertionError:
+        pass

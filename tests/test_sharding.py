@@ -90,3 +90,56 @@ def test_sharded_gp_padded_batch_transcript_equal():
     assert t_mesh.state_history == t_plain.state_history, \
         "padded mesh prover diverged from the unsharded transcript"
     verify_grand_product(proof_mesh, claims, Transcript(b"pad"))
+
+
+def test_hypercube_sharded_sumcheck_transcript_equal():
+    """Generic sumcheck with the 2^k HYPERCUBE axis sharded over the mesh
+    (SURVEY §5: the scaling axis for large T).  GSPMD partitions the round
+    kernels; the transcript must be byte-identical to the unsharded
+    prover's."""
+    from jolt_tpu.parallel.sharding import shard_sumcheck_polys
+    from jolt_tpu.subprotocols.sumcheck import comb_product, prove_arbitrary
+    from jolt_tpu.transcript import Transcript
+
+    rng = np.random.default_rng(11)
+    n = 128
+    polys = tuple(
+        fd.to_mont_device(SPEC, jnp.asarray(fd.pack_u64(
+            rng.integers(1, 1 << 32, size=n, dtype=np.uint64))))
+        for _ in range(3))
+
+    t_plain = Transcript(b"hc")
+    proof_plain, r_plain, fe_plain = prove_arbitrary(
+        7, polys, comb_product, 3, t_plain, SPEC)
+
+    mesh = make_mesh(8)
+    sharded = shard_sumcheck_polys(mesh, polys)
+    t_mesh = Transcript(b"hc")
+    proof_mesh, r_mesh, fe_mesh = prove_arbitrary(
+        7, sharded, comb_product, 3, t_mesh, SPEC)
+
+    assert t_mesh.state_history == t_plain.state_history, \
+        "hypercube-sharded sumcheck diverged from the unsharded transcript"
+    assert [x.v for x in fe_mesh] == [x.v for x in fe_plain]
+
+
+def test_sharded_surge_prove_transcript_equal():
+    """Surge with the primary sumcheck hypercube-sharded over the mesh:
+    byte-identical transcript, and the proof verifies."""
+    from jolt_tpu.commitment import MockCommitmentScheme
+    from jolt_tpu.instructions import XorInstruction
+    from jolt_tpu.lasso import SurgePreprocessing, surge_prove, surge_verify
+
+    import random
+    rng = random.Random(31)
+    pre = SurgePreprocessing(XorInstruction, 2, 1 << 4, SPEC)
+    pcs = MockCommitmentScheme(SPEC)
+    x = np.array([rng.randrange(16) for _ in range(16)], dtype=np.uint64)
+    y = np.array([rng.randrange(16) for _ in range(16)], dtype=np.uint64)
+
+    proof_plain, t_plain, _ = surge_prove(pre, pcs, x, y)
+    mesh = make_mesh(8)
+    proof_mesh, t_mesh, _ = surge_prove(pre, pcs, x, y, mesh=mesh)
+    assert t_mesh.state_history == t_plain.state_history, \
+        "mesh Surge prover diverged from the unsharded transcript"
+    surge_verify(pre, pcs, proof_mesh, debug_transcript=t_mesh)

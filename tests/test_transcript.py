@@ -77,3 +77,52 @@ def test_transcript_compare_to():
         raise SystemExit("should have diverged")
     except AssertionError:
         pass
+
+
+def test_transcript_frozen_vectors():
+    """Replays fixtures/transcript_vectors.json (frozen state history,
+    every append/challenge variant of transcript.rs:53-153).  Any change
+    to the byte format breaks THIS test by name, and a future
+    Rust-enabled round can diff the same script byte-for-byte."""
+    import json
+    import os
+
+    from jolt_tpu.curve.bn254 import G1Affine
+
+    path = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                        "transcript_vectors.json")
+    fix = json.load(open(path))
+    t = Transcript(fix["label"].encode())
+    g = G1Affine.generator()
+    g2 = g.to_jacobian().double().to_affine()
+    for e in fix["events"]:
+        k = e["kind"]
+        if k == "init":
+            pass
+        elif k == "message":
+            t.append_message(e["msg"].encode())
+        elif k == "u64":
+            t.append_u64(e["value"])
+        elif k == "bytes":
+            t.append_bytes(bytes.fromhex(e["data"]))
+        elif k == "scalar":
+            t.append_scalar(fr(int(e["value"])))
+        elif k == "point":
+            t.append_point(g)
+        elif k == "point_infinity":
+            t.append_point(None)
+        elif k == "scalars":
+            t.append_scalars([fr(int(v)) for v in e["values"]])
+        elif k == "points":
+            t.append_points([g, g2])
+        elif k == "challenge_scalar":
+            assert str(t.challenge_scalar().v) == e["value"]
+        elif k == "challenge_vector":
+            got = t.challenge_vector(len(e["values"]))
+            assert [str(c.v) for c in got] == e["values"]
+        elif k == "challenge_powers":
+            got = t.challenge_scalar_powers(len(e["values"]))
+            assert [str(c.v) for c in got] == e["values"]
+        else:
+            raise AssertionError(f"unknown event {k}")
+        assert t.state.hex() == e["state"], f"state mismatch after {k}"
