@@ -39,41 +39,50 @@ _INTERPRET = _os.environ.get("JOLT_PALLAS_INTERPRET", "") not in ("", "0")
 
 @functools.lru_cache(maxsize=None)
 def _collector_T(nl: int) -> np.ndarray:
-    """f32 [2*nl+1, nl*nl*4]: row k collects the four 8-BIT chunks of
-    product (i, j) with weights {1, 256} — chunks 0/1 (low 16 bits) land at
+    """f32 [4, 2*nl+1, nl*nl]: plane k collects the k-th 8-BIT chunk of
+    product (i, j) with weight {1, 256} — chunks 0/1 (low 16 bits) land at
     row i+j, chunks 2/3 at row i+j+1.  Every matrix entry (1 or 256 = 2^8)
-    and every input chunk (< 2^8) is bf16-EXACT, so the collector runs as a
-    SINGLE default-precision bf16 MXU pass instead of the 6-pass
+    and every input chunk (< 2^8) is bf16-EXACT, so the collector runs as
+    default-precision bf16 MXU passes instead of the 6-pass
     Precision.HIGHEST f32 product the 16-bit-part formulation needed —
-    2x the MACs, ~3x fewer MXU cycles (docs/PERF.md gap #1)."""
+    2x the MACs, ~3x fewer MXU cycles (docs/PERF.md gap #1).  Kept as FOUR
+    [2nl+1, nl*nl] planes applied chunk-by-chunk: one [nl, nl, NB] f32
+    chunk tensor live at a time instead of a [4*nl*nl, NB] concatenation —
+    the fused kernel's VMEM high-water mark stays under the 16 MB scoped
+    limit (the single-matrix version hit 47 MB at NB=512 and failed to
+    compile on v5e)."""
     ncols = 2 * nl + 1
-    mat = np.zeros((ncols, nl * nl * 4), dtype=np.float32)
+    mat = np.zeros((4, ncols, nl * nl), dtype=np.float32)
     for i in range(nl):
         for j in range(nl):
-            base = (i * nl + j) * 4
-            mat[i + j, base + 0] = 1.0
-            mat[i + j, base + 1] = 256.0
-            mat[i + j + 1, base + 2] = 1.0
-            mat[i + j + 1, base + 3] = 256.0
+            mat[0, i + j, i * nl + j] = 1.0
+            mat[1, i + j, i * nl + j] = 256.0
+            mat[2, i + j + 1, i * nl + j] = 1.0
+            mat[3, i + j + 1, i * nl + j] = 256.0
     return mat
 
 
 def _products_cols(a, b, coll):
     """Column sums of the double-width product of two [L, NB] u32 limb
-    blocks -> [2L+1, NB] u32 (each < 2^22, exact in f32 accumulation)."""
+    blocks -> [2L+1, NB] u32 (each < 2^22, exact in f32 accumulation).
+
+    coll: [4, 2L+1, L*L] chunk-plane collector (see _collector_T); the
+    four bf16 dots accumulate in f32 (sums < 2^22, exact) and are
+    bit-identical to a single concatenated pass."""
     prod = a[:, None, :] * b[None, :, :]                  # [L, L, NB] u32
-    # Mosaic lacks u32<->f32 casts; round-trip through i32.  Mask AFTER the
-    # shift: Mosaic may lower u32 >> as an arithmetic i32 shift,
-    # sign-extending products with the top bit set.
-    c = [(((prod >> (8 * k)) & 0xFF) if k else (prod & 0xFF))
-         .astype(jnp.int32).astype(jnp.float32) for k in range(4)]
-    flat = jnp.concatenate(
-        [x[:, :, None, :] for x in c], axis=2
-    ).reshape(L * L * 4, -1)                              # [4L^2, NB]
-    cols = jax.lax.dot_general(
-        coll.astype(jnp.bfloat16), flat.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [2L+1, NB] exact
+    nb = prod.shape[-1]
+    flat = prod.reshape(L * L, nb)
+    cols = jnp.zeros((2 * L + 1, nb), jnp.float32)
+    for k in range(4):
+        # Mosaic lacks u32<->f32 casts; round-trip through i32.  Mask AFTER
+        # the shift: Mosaic may lower u32 >> as an arithmetic i32 shift,
+        # sign-extending products with the top bit set.
+        ch = (((flat >> (8 * k)) & 0xFF) if k else (flat & 0xFF)) \
+            .astype(jnp.int32).astype(jnp.float32)
+        cols = cols + jax.lax.dot_general(
+            coll[k].astype(jnp.bfloat16), ch.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2L+1, NB] exact
     return cols.astype(jnp.int32).astype(jnp.uint32)
 
 
@@ -138,7 +147,7 @@ def _mont_mul_call(spec: FieldSpec, n: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, NB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * L + 1, L * L * 4), full,
+                pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * L, 2 * L), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), full, memory_space=pltpu.VMEM),
@@ -331,7 +340,8 @@ def _mont_mul_bl_call(spec: FieldSpec, B: int, n: int):
         grid_spec=pl.GridSpec(
             grid=(B, n // NB),
             in_specs=[blk, blk,
-                      pl.BlockSpec((2 * L + 1, L * L * 4), full,
+                      pl.BlockSpec((4, 2 * L + 1, L * L),
+                                   lambda b, i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((2 * L, 2 * L), full,
                                    memory_space=pltpu.VMEM),
@@ -503,7 +513,7 @@ def _pair_specs(B: int, h: int):
     eqhi = pl.BlockSpec((L, GP_MB), lambda i: (0, hb + i),
                         memory_space=pltpu.VMEM)
     consts = [
-        pl.BlockSpec((2 * L + 1, L * L * 4), lambda i: (0, 0),
+        pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),

@@ -15,6 +15,10 @@ from jolt_tpu.field import fr_spec
 from jolt_tpu.field import device as fd
 
 ON_TPU = jax.default_backend() in ("tpu", "axon")
+# JOLT_PALLAS_INTERPRET=1 routes every kernel through the Pallas
+# interpreter, so the parity checks below are meaningful on any backend.
+INTERPRET = os.environ.get("JOLT_PALLAS_INTERPRET", "") not in ("", "0")
+RUN = ON_TPU or INTERPRET
 
 
 def _rand_mont(spec, shape, seed):
@@ -23,7 +27,7 @@ def _rand_mont(spec, shape, seed):
         fd.pack_u64(rng.integers(1, 1 << 63, size=shape, dtype=np.uint64))))
 
 
-@pytest.mark.skipif(not ON_TPU, reason="TPU-only kernel")
+@pytest.mark.skipif(not RUN, reason="TPU or interpret mode only")
 def test_pallas_mont_mul_matches_xla():
     spec = fr_spec()
     a = _rand_mont(spec, (1 << 11,), 1)
@@ -34,7 +38,7 @@ def test_pallas_mont_mul_matches_xla():
     assert bool(jnp.all(want == got))
 
 
-@pytest.mark.skipif(not ON_TPU, reason="TPU-only kernel")
+@pytest.mark.skipif(not RUN, reason="TPU or interpret mode only")
 def test_pallas_mont_mul_bl_matches_xla():
     spec = fr_spec()
     B, n = 3, 1 << 11
@@ -48,7 +52,7 @@ def test_pallas_mont_mul_bl_matches_xla():
     assert bool(jnp.all(want == got))
 
 
-@pytest.mark.skipif(not ON_TPU, reason="TPU-only kernel")
+@pytest.mark.skipif(not RUN, reason="TPU or interpret mode only")
 def test_pallas_gp_pair_round_matches_xla():
     """Pair round kernels vs the XLA pair math (contiguous halves)."""
     spec = fr_spec()
