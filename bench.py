@@ -116,7 +116,11 @@ def main():
                                                      _pair_cubic_evals)
 
     spec = fr_spec()
-    B = 8            # batched circuits
+    B = 32           # batched circuits — real Jolt GP batches are this size
+    #                  or larger (memory checking batches all ~54 memories'
+    #                  read/write circuits into ONE grand product,
+    #                  grand_product.rs:335-396 / memory_checking.rs), so a
+    #                  wide batch is the representative workload
     n = 1 << 16      # interleaved layer length (pairs per side = n/4)
     s = n // 2       # per-side (l, r) length in the bit-reversed pair layout
     rng = np.random.default_rng(7)

@@ -128,8 +128,7 @@ def _mont_mul_kernel(a_ref, b_ref, coll_ref, mnp_ref, mp_ref, p_ref, out_ref):
     b = b_ref[:]
     nb = a.shape[-1]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, nb))
-    t = _carry_ks(_products_cols(a, b, coll_ref[:]))      # [2L+1, NB]
-    out_ref[:] = _redc8_k(t, mnp_ref[:], mp_ref[:], p_l)
+    out_ref[:] = _mul_k(a, b, coll_ref[:], p_l, mnp_ref[:], mp_ref[:])
 
 
 @functools.lru_cache(maxsize=None)
@@ -149,7 +148,7 @@ def _mont_mul_call(spec: FieldSpec, n: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * L, 2 * L), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * L, 3 * L), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), full, memory_space=pltpu.VMEM),
             ],
@@ -168,12 +167,14 @@ def _mont_mul_call(spec: FieldSpec, n: int):
 def _consts(spec: FieldSpec):
     """HOST numpy constants — jnp arrays created here would become tracers
     of whatever transformation first calls this (and the lru_cache would
-    leak them into later traces).  Returns (collector, M_N', M_p, p_limbs)."""
-    from .spec import redc_matrices
+    leak them into later traces).  Returns (collector, raw M_N', M_p,
+    p_limbs)."""
+    from .spec import redc_matrices, redc_matrix_raw
     coll = _collector_T(L)
-    mnp, mp = redc_matrices(spec)
+    _, mp = redc_matrices(spec)
+    mnpu = redc_matrix_raw(spec)
     p_limbs = np.asarray(spec.p_limbs, np.uint32).reshape(L, 1)
-    return coll, mnp, mp, p_limbs
+    return coll, mnpu, mp, p_limbs
 
 
 def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
@@ -274,35 +275,79 @@ def _carry_wide(t):
     return _carry_ks(s)
 
 
-def _redc8_k(t, mnp, mp, p_l):
-    """Montgomery REDC of carried t [2L+1, n] via constant-matrix muls.
+def _prefold(t):
+    """One carry-free fold of 16-bit-weighted columns: each column's high
+    bits move one row up (< 2^32 in -> < 2^17 out).  NOT canonical — just
+    narrow enough for the 3-chunk split of the raw REDC."""
+    return (t & 0xFFFF) + jnp.concatenate(
+        [jnp.zeros_like(t[:1]), (t >> 16)[:-1]], axis=0)
 
-    m = (t mod R)*N' mod R, then (t + m*p)/R with conditional subtract —
-    bit-identical to the schoolbook REDC, ~12x fewer MXU tile-passes."""
+
+def _split24_f(t16):
+    """[K, n] u32 raw columns (< 2^24) -> [3K, n] f32 8-bit chunks,
+    row 3k+j = chunk j of column k (the redc_matrix_raw input layout)."""
+    k, n = t16.shape
+    c0 = (t16 & 0xFF).astype(jnp.int32).astype(jnp.float32)
+    c1 = ((t16 >> 8) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+    c2 = ((t16 >> 16) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+    return jnp.concatenate(
+        [c0[:, None, :], c1[:, None, :], c2[:, None, :]],
+        axis=1).reshape(3 * k, n)
+
+
+def _carry_mont_hi(s, p_l):
+    """Final Montgomery carry, exploiting T + m*p ≡ 0 (mod R).
+
+    s: [2L+1, n] prefolded columns (< 2^17) of T + m*p.  Because the fully
+    carried low 16 limbs are ZERO by Montgomery construction, each low
+    step satisfies (s_k + c_k) ≡ 0 mod 2^16, which forces
+    c_{k+1} = (s_k >> 16) + [c_k > 0] — so the carry into limb 16 needs
+    only an OR-reduction over the low columns' high bits instead of a
+    full-width Kogge-Stone, and the real carry chain runs on the 17 high
+    rows alone (~half the lookahead cost of the 33-row chain)."""
+    hi_bits = s[:L] >> 16                                        # each <= 1
+    # Mosaic lacks unsigned reductions; the bits are 0/1, i32 is exact.
+    low_max = jnp.max(hi_bits[: L - 1].astype(jnp.int32), axis=0,
+                      keepdims=True)
+    any_low = jnp.where(low_max > 0, jnp.uint32(1), jnp.uint32(0))
+    c16 = hi_bits[L - 1: L] + any_low
+    h = jnp.concatenate([s[L: L + 1] + c16, s[L + 1:]], axis=0)  # 17 rows
+    return _cond_sub_p(_carry_ks(h)[:L], p_l)
+
+
+def _redc8_k(t, mnpu, mp, p_l):
+    """Montgomery REDC of RAW 16-bit-weighted columns t [2L+1, n]
+    (each column < 2^24 — collector output, prefolded scalar product, or
+    prefolded lazy-carry sum) via constant-matrix muls.
+
+    m = T*N' mod R straight from the uncarried chunks (redc_matrix_raw),
+    then (T + m*p)/R with the half-width Montgomery carry + conditional
+    subtract — the mod-p result is bit-identical to the carried schoolbook
+    REDC, but the input-side 33-row Kogge-Stone carry is gone entirely."""
     n = t.shape[-1]
-    t_lo = t[:L]
-    m = _carry_wide(_fold16(_dot8(mnp, _split8_f(t_lo))))        # [L, n] mod R
+    m = _carry_wide(_fold16(_dot8(mnpu, _split24_f(t[:L]))))     # [L, n] mod R
     u = _fold16(_dot8(mp, _split8_f(m)))                         # [2L, n] < 2^30
     u33 = jnp.concatenate([u, jnp.zeros((1, n), jnp.uint32)], axis=0)
-    s = _carry_wide(u33 + t)                                     # exact T + m*p
-    return _cond_sub_p(s[L:2 * L], p_l)
+    s = _prefold(u33 + t)                                        # exact T + m*p
+    return _carry_mont_hi(s, p_l)
 
 
-def _mul_k(a, b, coll, p_l, mnp, mp):
+def _mul_k(a, b, coll, p_l, mnpu, mp):
     """Full in-kernel Montgomery multiply of [L, n] blocks: general
-    schoolbook product + constant-matrix REDC."""
-    t = _carry_ks(_products_cols(a, b, coll))
-    return _redc8_k(t, mnp, mp, p_l)
+    schoolbook product + raw-column constant-matrix REDC (no carry chain
+    between them — the collector columns < 2^22 feed REDC directly)."""
+    return _redc8_k(_products_cols(a, b, coll), mnpu, mp, p_l)
 
 
-def _mul_scalar_k(mc, x, p_l, mnp, mp):
+def _mul_scalar_k(mc, x, p_l, mnpu, mp):
     """Montgomery multiply by a launch-constant scalar c, given as its
     [2L, 2L] conv matrix (see scalar_mul_matrix): three tiny single-pass
-    matmuls total — ~12x cheaper than the general product."""
-    t = _carry_wide(_fold16(_dot8(mc, _split8_f(x))))            # [2L, n]
+    matmuls total — ~12x cheaper than the general product.  The raw conv
+    columns (< 2^30) take one carry-free prefold, then REDC directly."""
+    t = _fold16(_dot8(mc, _split8_f(x)))                         # [2L, n]
     t33 = jnp.concatenate(
         [t, jnp.zeros((1, x.shape[-1]), jnp.uint32)], axis=0)
-    return _redc8_k(t33, mnp, mp, p_l)
+    return _redc8_k(_prefold(t33), mnpu, mp, p_l)
 
 
 def _mod_reduce_lanes(u, p_l_col):
@@ -343,7 +388,7 @@ def _mont_mul_bl_call(spec: FieldSpec, B: int, n: int):
                       pl.BlockSpec((4, 2 * L + 1, L * L),
                                    lambda b, i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((2 * L, 2 * L), full,
+                      pl.BlockSpec((2 * L, 3 * L), full,
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((4 * L, 2 * L), full,
                                    memory_space=pltpu.VMEM),
@@ -431,7 +476,7 @@ def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
         for a, wi in zip(acc, w):
             w33 = jnp.concatenate([wi, jnp.zeros((1, mb), jnp.uint32)],
                                   axis=0)
-            out.append(_fadd_k(a, _redc8_k(_carry_wide(w33), mnp, mp, p_l),
+            out.append(_fadd_k(a, _redc8_k(_prefold(w33), mnp, mp, p_l),
                                p_l))
         return tuple(out)
 
@@ -466,7 +511,21 @@ def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
     e0 = _mod_reduce_lanes(u0, p_l)
     e2 = _mod_reduce_lanes(u2, p_l)
     e3 = _mod_reduce_lanes(u3, p_l)
-    out_ref[:] = jnp.concatenate([e0, e2, e3], axis=-1).reshape(1, L, 3)
+    vals = jnp.concatenate([e0, e2, e3], axis=-1)          # [L, 3]
+    # Accumulate across grid steps in VMEM (constant output index map):
+    # removes the per-round [nblocks] partial-sum glue that dominated the
+    # small tail rounds.  Mod-p addition is order-independent, so the
+    # result is bit-identical to summing the partials afterwards.
+    i = pl.program_id(0)
+    p_l3 = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, 3))
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = vals
+
+    @pl.when(i != 0)
+    def _accum():
+        out_ref[:] = _fadd_k(out_ref[:], vals, p_l3)
 
 
 def _gp_pair_bind_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
@@ -515,7 +574,7 @@ def _pair_specs(B: int, h: int):
     consts = [
         pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
+        pl.BlockSpec((2 * L, 3 * L), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -534,10 +593,10 @@ def _gp_pair_evals_call(spec: FieldSpec, B: int, s: int):
     return pl.pallas_call(
         _gp_pair_evals_kernel,
         interpret=_INTERPRET,
-        out_shape=jax.ShapeDtypeStruct((nblocks, L, 3), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, 3), jnp.uint32),
         grid=(nblocks,),
         in_specs=[lo, hi, lo, hi, eqlo, eqhi, cmats] + consts,
-        out_specs=pl.BlockSpec((1, L, 3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((L, 3), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -601,14 +660,13 @@ def gp_pair_evals_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
 
     l, r: [B, L, s]; eq: [L, s]; coeffs: [L, B] Montgomery limbs (turned
     into scalar-mul conv matrices on device).  Returns [L, 3]
-    (bit-identical to the XLA pair path)."""
-    from . import device as fd
+    (bit-identical to the XLA pair path; block partials accumulate inside
+    the kernel across grid steps, so no host-graph reduction remains)."""
     B, _, s = l.shape
     coll, mnp, mp, p_limbs = _consts(spec)
     cmats = scalar_conv_mats(coeffs)                       # [B, 4L, 2L]
-    partials = _gp_pair_evals_call(spec, B, s)(
+    return _gp_pair_evals_call(spec, B, s)(
         l, l, r, r, eq, eq, cmats, coll, mnp, mp, p_limbs)
-    return fd.fsum(spec, jnp.moveaxis(partials, 0, -1), axis=-1)  # [L, 3]
 
 
 def gp_pair_bind_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,

@@ -113,6 +113,35 @@ def redc_matrices(spec: "FieldSpec"):
     return mnp, mp
 
 
+@functools.cache
+def redc_matrix_raw(spec: "FieldSpec") -> "np.ndarray":
+    """f32 [2L, 3L]: N' conv matrix over UNCARRIED product columns.
+
+    Montgomery's m = T*N' mod R only needs T mod R, and with RAW
+    16-bit-weighted columns t_0..t_32 (t_k < 2^24, as the collector matmul
+    emits them) T mod 2^256 = sum_{k<16} t_k*2^(16k) mod 2^256 — still
+    LINEAR in the 8-bit chunks of the low 16 columns.  This matrix maps
+    input row n = 3k+j (chunk j of column k, weight 2^(16k+8j)) to the
+    mod-R-truncated chunk rows of T*N', so REDC can start straight from the
+    collector output with NO 33-row carry chain first (the old pipeline's
+    single largest VPU cost).  Entries < 2^8 (bf16-exact), column sums
+    < 48*2^16 < 2^22 (f32-exact single MXU pass).  Output rows are ordered
+    [evens ++ odds] to match _fold16.  Chunks with weight >= 2^256
+    (j=2 of k=15) truncate to zero rows automatically."""
+    npc = _chunks8(spec.nprime_limbs)
+    M = np.zeros((2 * NUM_LIMBS, 3 * NUM_LIMBS), dtype=np.float32)
+    for k in range(NUM_LIMBS):
+        for j in range(3):
+            w = 2 * k + j                 # 8-bit weight offset of this row
+            for c in range(2 * NUM_LIMBS):
+                d = c - w
+                if 0 <= d < len(npc):
+                    M[c, 3 * k + j] = npc[d]
+    perm = np.concatenate([np.arange(0, 2 * NUM_LIMBS, 2),
+                           np.arange(1, 2 * NUM_LIMBS, 2)])
+    return M[perm]
+
+
 def scalar_mul_matrix(spec: "FieldSpec", value: int) -> "np.ndarray":
     """[4L, 2L] conv matrix of a field element (CALLER passes the
     Montgomery-form integer for Montgomery-domain kernels)."""
