@@ -186,10 +186,22 @@ def main():
         "backend": backend,
     }
     if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
+        # deadline: a slow e2e (cold compiles on a fresh box) must abort
+        # with a tagged error rather than time out the whole bench run and
+        # lose the kernel metric above
+        e2e_deadline = int(os.environ.get("JOLT_BENCH_E2E_TIMEOUT", "1500"))
+
+        def _e2e_timeout(signum, frame):
+            raise TimeoutError(f"e2e stage exceeded {e2e_deadline}s")
+
         try:
+            signal.signal(signal.SIGALRM, _e2e_timeout)
+            signal.alarm(e2e_deadline)
             out.update(bench_e2e(backend))
         except Exception as e:  # never lose the kernel metric
             out["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            signal.alarm(0)
     print(json.dumps(out))
 
 

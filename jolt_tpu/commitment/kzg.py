@@ -119,7 +119,22 @@ def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZ
         jnp.asarray((limbs[w // 2] >> np.uint32(8 * (w % 2))) & np.uint32(0xFF),
                     dtype=jnp.int32)
         for w in range(32)])
-    X, Y, Z = _srs_points(tx, ty, tinf, digits)
+    # Chunk over N: the gather materializes [L, 32, N] coordinate tensors
+    # (plus the tree-sum intermediates), which at N = 2^21 (RAM-sized SRS)
+    # is tens of GB — beyond HBM.  Fixed-size chunks keep peak memory
+    # bounded AND reuse one compiled program for every chunk.
+    chunk = 1 << 16
+    if n <= chunk:
+        X, Y, Z = _srs_points(tx, ty, tinf, digits)
+    else:
+        parts = []
+        for off in range(0, n, chunk):
+            d = digits[:, off:off + chunk]
+            if d.shape[1] < chunk:  # pad tail to the compiled shape
+                d = jnp.pad(d, ((0, 0), (0, chunk - d.shape[1])))
+            parts.append(_srs_points(tx, ty, tinf, d))
+        X, Y, Z = (jnp.concatenate(t, axis=1)[:, :n]
+                   for t in zip(*parts))
 
     g2 = G2Affine.generator()
     vk = KZGVerifierKey(G1Affine.generator(), g2, g2.mul(tau))
