@@ -102,22 +102,35 @@ def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZ
     tau = rng.randrange(1, FR.p)
     n = max_degree
 
-    # host: scalar powers of tau (canonical)
-    powers = np.empty(n, dtype=object)
+    # powers of tau: host computes only the first chunk (<= 2^16 bigint
+    # muls); every further chunk is the previous one scaled by tau^C on
+    # device — ONE compiled [L, C] fmul reused across all chunks.  This
+    # replaces the 2^21-iteration host bigint loop + per-element
+    # pack_ints that dominated SRS wall time.
+    C = min(n, 1 << 16)
+    powers = np.empty(C, dtype=object)
     acc = 1
-    for i in range(n):
+    for i in range(C):
         powers[i] = acc
         acc = acc * tau % FR.p
+    chunk = fd.to_mont_device(FR, jnp.asarray(fd.pack_ints(powers)))
+    chunks = [chunk]
+    if n > C:
+        step_c = fd.scalar_to_device(FR, pow(tau, C, FR.p))[:, None]
+        for _ in range(n // C - 1):
+            chunk = fd.fmul(FR, chunk, step_c)
+            chunks.append(chunk)
+    P = jnp.concatenate(chunks, axis=-1) if len(chunks) > 1 else chunk
+    powers_limbs = fd.from_mont_device(FR, P[:, :n])  # canonical [L, N]
 
     table = _fixed_base_table(G1Affine.generator())
     tx = fd.ints_to_device(cd.FQ, [[p.x for p in row] for row in table])
     ty = fd.ints_to_device(cd.FQ, [[p.y for p in row] for row in table])
     tinf = jnp.asarray(np.array([[p.is_infinity for p in row] for row in table]))
 
-    limbs = fd.pack_ints(powers)  # canonical [L, N]
     digits = jnp.stack([
-        jnp.asarray((limbs[w // 2] >> np.uint32(8 * (w % 2))) & np.uint32(0xFF),
-                    dtype=jnp.int32)
+        ((powers_limbs[w // 2] >> jnp.uint32(8 * (w % 2)))
+         & jnp.uint32(0xFF)).astype(jnp.int32)
         for w in range(32)])
     # Chunk over N: the gather materializes [L, 32, N] coordinate tensors
     # (plus the tree-sum intermediates), which at N = 2^21 (RAM-sized SRS)

@@ -297,6 +297,29 @@ def _masked_tree_sum(px, py, pz, masks):
 
 
 _masked_tree_sum_jit = jax.jit(_masked_tree_sum)
+_jac_add_jit = jax.jit(lambda a, b: jac_add(a, b))
+
+MSM_SEGMENT = 1 << 16  # points per tree-sum dispatch (bounds the [L, K, N]
+#                        broadcast: at N = 2^21, K = 64 it would be ~25 GB)
+
+
+def _masked_tree_sum_segmented(px, py, pz, masks):
+    """_masked_tree_sum with the point axis processed in fixed segments;
+    per-segment [L, K] partials fold with one tiny jac_add each."""
+    N = masks.shape[1]
+    if N <= MSM_SEGMENT:
+        return _masked_tree_sum_jit(px, py, pz, masks)
+    acc = None
+    for off in range(0, N, MSM_SEGMENT):
+        sl = tuple(t[..., off:off + MSM_SEGMENT] for t in (px, py, pz))
+        ms = masks[:, off:off + MSM_SEGMENT]
+        if ms.shape[1] < MSM_SEGMENT:  # Z=0 padding = group identity
+            w = MSM_SEGMENT - ms.shape[1]
+            sl = tuple(jnp.pad(t, ((0, 0), (0, w))) for t in sl)
+            ms = jnp.pad(ms, ((0, 0), (0, w)))
+        s = _masked_tree_sum_jit(*sl, ms)
+        acc = s if acc is None else _jac_add_jit(acc, s)
+    return acc
 
 
 def scalar_max_bits(canonical_limbs: jnp.ndarray) -> int:
@@ -358,7 +381,7 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
                  & jnp.uint32(1) for j, b in group]
                 + [jnp.zeros((n,), jnp.uint32)] * (k_pad - len(group))
             ).astype(bool)
-            sx, sy, sz = _masked_tree_sum_jit(pxn, pyn, pzn, masks)
+            sx, sy, sz = _masked_tree_sum_segmented(pxn, pyn, pzn, masks)
             pts = jacobian_to_host(sx, sy, sz)
             for (j, _b), p in zip(group, pts):
                 sums[j].append(p)

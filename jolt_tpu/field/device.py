@@ -247,8 +247,27 @@ def fsquare(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return fmul(spec, a, a)
 
 
+_FROM_MONT_CHUNK = 1 << 16
+
+
 def from_mont_device(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery -> canonical residue, on device (REDC of a itself)."""
+    """Montgomery -> canonical residue, on device (REDC of a itself).
+
+    Huge vectors (RAM-sized 2^21 commit scalars) are REDC'd in fixed-size
+    chunks: _mul_columns materializes [nl*nl*2, batch] f32 intermediates
+    (~6 KB/element), which at 2^21 elements exceeds HBM in one fusion."""
+    batch = 1
+    for s in a.shape[1:]:
+        batch *= s
+    if batch > 2 * _FROM_MONT_CHUNK:
+        flat = a.reshape((a.shape[0], batch))
+        parts = []
+        for off in range(0, batch, _FROM_MONT_CHUNK):
+            sl = flat[:, off:off + _FROM_MONT_CHUNK]
+            if sl.shape[1] < _FROM_MONT_CHUNK:  # pad tail: one compile
+                sl = jnp.pad(sl, ((0, 0), (0, _FROM_MONT_CHUNK - sl.shape[1])))
+            parts.append(from_mont_device(spec, sl))
+        return jnp.concatenate(parts, axis=1)[:, :batch].reshape(a.shape)
     pad = jnp.zeros((L + 1,) + a.shape[1:], dtype=U32)
     return _mont_redc(spec, jnp.concatenate([a, pad], axis=0))
 
