@@ -6,6 +6,11 @@ Runs on whatever backend jax selects (real TPU under the driver).  Prints
 ONE JSON line; progress goes to stderr.  JOLT_BENCH_E2E=0 skips the e2e
 stage (kernel metric only).
 
+The whole run is watchdogged: a SIGALRM at JOLT_BENCH_TOTAL seconds
+(default 520) and the driver's SIGTERM both print the JSON line with
+whatever stages completed and exit — a partial bench must never leave
+the driver with NO artifact (round-2 lesson: rc=124, parsed=null).
+
 Baseline: multicore-rayon arkworks BN254 Fr multiplication throughput.
 arkworks Fr mul ~= 15-20M/s/core (measured widely; e.g. 65ns/mul), and the
 reference parallelizes over ~32 threads on the comparison machine =>
@@ -13,14 +18,59 @@ reference parallelizes over ~32 threads on the comparison machine =>
 """
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_T0 = time.monotonic()
+_OUT = {"metric": "gp_cubic_round_field_muls_per_sec", "value": 0,
+        "unit": "field-muls/s/chip", "vs_baseline": 0.0}
+_PRINTED = False
+
 
 def _log(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _finalize(reason=None):
+    """Print the ONE json line (idempotent)."""
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    if reason:
+        _OUT.setdefault("partial", reason)
+    print(json.dumps(_OUT), flush=True)
+
+
+def _die(signame):
+    def h(signum, frame):
+        _log(f"{signame} at +{time.monotonic() - _T0:.0f}s; emitting partial")
+        _finalize(f"{signame} watchdog")
+        os._exit(0)
+    return h
+
+
+def _watchdog(total):
+    """Thread-based deadline: SIGALRM handlers are DEFERRED while the main
+    thread sits in a long C call (XLA compile — observed 80s+ deferral);
+    a timer thread prints the JSON line and exits regardless."""
+    def fire():
+        _log(f"watchdog at +{time.monotonic() - _T0:.0f}s; emitting partial")
+        _finalize("watchdog")
+        os._exit(0)
+    t = threading.Timer(max(5.0, total - (time.monotonic() - _T0)), fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _budget_left(total):
+    return total - (time.monotonic() - _T0)
 
 
 def bench_e2e(backend: str) -> dict:
@@ -70,6 +120,10 @@ def bench_e2e(backend: str) -> dict:
 
 
 def main():
+    total = int(os.environ.get("JOLT_BENCH_TOTAL", "540"))
+    signal.signal(signal.SIGTERM, _die("SIGTERM"))
+    wd = _watchdog(total)
+
     try:  # LLVM JIT map exhaustion guard (no-op without privileges)
         with open("/proc/sys/vm/max_map_count", "r+") as f:
             if int(f.read()) < (1 << 21):
@@ -84,19 +138,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     # The axon tunnel has been observed to hang backend init indefinitely
-    # (device discovery retry loop).  A hung bench leaves NO artifact at
-    # all — fall back to CPU after a deadline so the driver always gets a
-    # JSON line (tagged with the backend it actually measured).
-    import signal
-    deadline = int(os.environ.get("JOLT_BENCH_BACKEND_TIMEOUT", "900"))
-
+    # (device discovery retry loop).  Fall back to CPU after a deadline so
+    # the driver always gets a JSON line tagged with the measured backend.
     def _backend_timeout(signum, frame):
         raise TimeoutError("backend init timed out")
 
     backend = None
+    signal.signal(signal.SIGALRM, _backend_timeout)
     try:
-        signal.signal(signal.SIGALRM, _backend_timeout)
-        signal.alarm(deadline)
+        signal.alarm(min(300, max(60, int(_budget_left(total)) - 120)))
         backend = jax.devices()[0].platform
     except Exception as e:
         _log(f"TPU backend init failed ({e}); falling back to CPU")
@@ -109,6 +159,7 @@ def main():
     finally:
         signal.alarm(0)
     _log(f"backend: {backend}")
+    _OUT["backend"] = backend
     import jax.numpy as jnp
     import numpy as np
     from jolt_tpu.field import device as fd, fr_spec
@@ -163,6 +214,7 @@ def main():
     step_jit = jax.jit(step)
     out = step_jit(l, rt, eq, coeffs, r)
     jax.block_until_ready(out)  # compile + warmup
+    _log("kernel stage compiled")
 
     iters = 5
     t0 = time.perf_counter()
@@ -178,31 +230,26 @@ def main():
     muls = K * muls_layer
     ops_per_sec = muls / dt
     baseline = 5e8  # multicore-rayon arkworks Fr mul/s (see module docstring)
-    out = {
-        "metric": "gp_cubic_round_field_muls_per_sec",
-        "value": round(ops_per_sec),
-        "unit": "field-muls/s/chip",
-        "vs_baseline": round(ops_per_sec / baseline, 4),
-        "backend": backend,
-    }
+    _OUT.update(
+        value=round(ops_per_sec),
+        vs_baseline=round(ops_per_sec / baseline, 4),
+    )
+    _log(f"kernel: {ops_per_sec / 1e6:.1f}M muls/s "
+         f"({ops_per_sec / baseline:.3f}x baseline)")
     if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
-        # deadline: a slow e2e (cold compiles on a fresh box) must abort
-        # with a tagged error rather than time out the whole bench run and
-        # lose the kernel metric above
-        e2e_deadline = int(os.environ.get("JOLT_BENCH_E2E_TIMEOUT", "1500"))
-
-        def _e2e_timeout(signum, frame):
-            raise TimeoutError(f"e2e stage exceeded {e2e_deadline}s")
-
-        try:
-            signal.signal(signal.SIGALRM, _e2e_timeout)
-            signal.alarm(e2e_deadline)
-            out.update(bench_e2e(backend))
-        except Exception as e:  # never lose the kernel metric
-            out["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
-        finally:
-            signal.alarm(0)
-    print(json.dumps(out))
+        # the e2e stage gets whatever remains of the total budget minus a
+        # print margin; if the watchdog fires mid-prove the kernel metric
+        # above still lands
+        left = _budget_left(total) - 15
+        if left < 60:
+            _OUT["e2e_error"] = f"skipped: only {left:.0f}s budget left"
+        else:
+            try:
+                _OUT.update(bench_e2e(backend))
+            except Exception as e:  # never lose the kernel metric
+                _OUT["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+    wd.cancel()
+    _finalize()
 
 
 if __name__ == "__main__":

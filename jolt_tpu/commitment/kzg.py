@@ -92,6 +92,19 @@ def _srs_points(tx, ty, tinf, digits):
     return tuple(t[:, 0] for t in P)
 
 
+def _srs_cache_path(n: int, seed: int) -> str | None:
+    """Disk cache for generated SRS point tensors (large SRS only): the
+    seed is deterministic, so the G1 powers are pure functions of
+    (n, seed) — repeated bench/CLI runs skip the device generation pass.
+    Disable with JOLT_TPU_SRS_CACHE=0."""
+    import os
+    if n < (1 << 12) or os.environ.get("JOLT_TPU_SRS_CACHE", "1") in ("0", ""):
+        return None
+    d = os.environ.get("JOLT_TPU_SRS_CACHE_DIR", "/tmp/jolt_tpu_srs_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"srs_{n}_{seed:x}.npz")
+
+
 def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZGVerifierKey]:
     """Generate a (test/dev) SRS from a deterministic seed.
 
@@ -101,6 +114,19 @@ def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZ
     rng = random.Random(seed)
     tau = rng.randrange(1, FR.p)
     n = max_degree
+
+    cache = _srs_cache_path(n, seed)
+    if cache is not None:
+        import os
+        if os.path.exists(cache):
+            try:
+                z = np.load(cache)
+                X, Y, Z = (jnp.asarray(z[k]) for k in ("X", "Y", "Z"))
+                g2 = G2Affine.generator()
+                vk = KZGVerifierKey(G1Affine.generator(), g2, g2.mul(tau))
+                return KZGProverKey((X, Y, Z), n), vk
+            except Exception:
+                pass  # corrupt/partial cache file: regenerate below
 
     # powers of tau: host computes only the first chunk (<= 2^16 bigint
     # muls); every further chunk is the previous one scaled by tau^C on
@@ -151,6 +177,14 @@ def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZ
 
     g2 = G2Affine.generator()
     vk = KZGVerifierKey(G1Affine.generator(), g2, g2.mul(tau))
+    if cache is not None:
+        try:  # atomic publish: a killed writer must not poison readers
+            import os
+            tmp = cache + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, X=np.asarray(X), Y=np.asarray(Y), Z=np.asarray(Z))
+            os.replace(tmp, cache)
+        except Exception:
+            pass
     return KZGProverKey((X, Y, Z), n), vk
 
 

@@ -24,10 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import device as fd
-from ..field.spec import FieldSpec, fq_spec, LIMB_BITS
+from ..field.spec import FieldSpec, fq_spec, fr_spec, LIMB_BITS
 from .bn254 import G1Affine, G1Jacobian
 
 FQ = fq_spec()
+FR = fr_spec()
 
 
 def _sq(x):
@@ -54,8 +55,28 @@ def _iszero(x):
     return jnp.all(x == 0, axis=0)
 
 
+def _point_pallas(*tensors) -> bool:
+    """Fused point kernels on TPU for non-trivial batches: ONE pallas call
+    per point-op instead of ~30 field-op kernels — 30x fewer HBM round
+    trips AND 30x smaller serialized programs (a 40+ MB masked-tree
+    executable took the axon tunnel 90-450 s to LOAD; see pallas_point.py).
+    Bit-identical to the XLA path below."""
+    import os
+    if os.environ.get("JOLT_TPU_NO_POINT_PALLAS"):
+        return False
+    batch = 1
+    for s in jnp.broadcast_shapes(*[t.shape for t in tensors])[1:]:
+        batch *= s
+    from ..field.device import _pallas_backend
+    from ..field.pallas_mont import _INTERPRET
+    return batch >= 256 and (_pallas_backend() or _INTERPRET)
+
+
 def jac_double(X, Y, Z):
     """a=0 Jacobian doubling (dbl-2009-l); infinity-safe (Z3 = 2YZ = 0)."""
+    if _point_pallas(X, Y, Z):
+        from .pallas_point import jac_double_pallas
+        return jac_double_pallas(FQ, X, Y, Z)
     A = _sq(X)
     B = _sq(Y)
     C = _sq(B)
@@ -73,6 +94,9 @@ def jac_add(p1, p2):
     """Full Jacobian addition with masked special cases."""
     X1, Y1, Z1 = p1
     X2, Y2, Z2 = p2
+    if _point_pallas(X1, Y1, Z1, X2, Y2, Z2):
+        from .pallas_point import jac_add_pallas
+        return jac_add_pallas(FQ, p1, p2)
     z1z1 = _sq(Z1)
     z2z2 = _sq(Z2)
     u1 = _mul(X1, z2z2)
@@ -342,6 +366,27 @@ def _horner_bits(sums: list[G1Jacobian]) -> G1Jacobian:
     return acc
 
 
+@jax.jit
+def _stack_canonical(stacked_mont):
+    """[L, J, n] Montgomery -> canonical limbs + per-poly limb maxes.
+
+    ONE compiled pass + ONE tiny [L, J] host pull replaces the per-poly
+    from_mont/scalar_max_bits loop that dominated the batch commit
+    (observed ~0.3-0.5 s of eager dispatch + sync PER polynomial)."""
+    canon = fd.from_mont_device(FR, stacked_mont)
+    return canon, jnp.max(canon, axis=-1)
+
+
+@jax.jit
+def _bitplane_masks(canon, limb_idx, poly_idx, shifts, valid):
+    """[K, n] bit masks for one channel chunk, built ON DEVICE: channel k
+    is bit `shifts[k]` of limb `limb_idx[k]` of poly `poly_idx[k]`;
+    channels with valid[k] == False come out all-False (chunk padding)."""
+    sel = canon[limb_idx, poly_idx, :]                     # [K, n]
+    bits = (sel >> shifts[:, None]) & jnp.uint32(1)
+    return bits.astype(bool) & valid[:, None]
+
+
 def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
                        ) -> list[G1Affine]:
     """MSMs of many scalar vectors over one base set (batch commit).
@@ -349,10 +394,27 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
     points_jac: (X [L, N], Y [L, N], Z [L, N]) Montgomery Jacobian
     (Z = 0 ⇔ infinity — the form the SRS is stored in);
     scalars_mont: list of [Lr, n_j] Montgomery Fr tensors (n_j <= N).
-    All bit-planes are flattened into one channel axis and dispatched in
-    MSM_CHANNEL_CHUNK-sized groups (one compiled kernel per (chunk, n)
-    shape); per-poly results are Horner-combined on host.
-    """
+
+    Fully device-batched: equal-length polys stack into one [L, J, n]
+    tensor, canonicalization + per-poly bit widths come from ONE compiled
+    pass (+ one tiny host pull), and each MSM_CHANNEL_CHUNK-sized group of
+    bit-planes is one jitted mask-build + masked-tree dispatch.  The
+    expensive tree program is keyed only by (K, n) — J never enters its
+    shape.  Per-poly results are Horner-combined on host (~sum(bits)
+    Jacobian ops, microseconds each)."""
+    import os as _osm
+    import time as _tm
+    _dbg = _osm.environ.get("JOLT_MSM_DEBUG", "") not in ("", "0")
+    _t = _tm.perf_counter
+    _tl = _t()
+
+    def _mark(label):
+        nonlocal _tl
+        if _dbg:
+            now = _t()
+            print(f"[msm] {label}: {now - _tl:.2f}s", flush=True)
+            _tl = now
+
     px, py, pz_full = points_jac
 
     # group polys by length so channels in a dispatch share N
@@ -363,30 +425,38 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
     results: dict[int, G1Affine] = {}
     for n, idxs in by_len.items():
         pxn, pyn, pzn = px[..., :n], py[..., :n], pz_full[..., :n]
-        # (poly index, bit index) channel list
+        stacked = jnp.stack([scalars_mont[j] for j in idxs], axis=1)
+        canon, maxes = _stack_canonical(stacked)           # [L, J, n], [L, J]
+        limb_max = np.asarray(jax.device_get(maxes))       # ONE tiny pull
+        _mark(f"n={n} J={len(idxs)} stack+canon")
+        # per-poly bit widths -> flat (poly slot, bit) channel list
         channels: list[tuple[int, int]] = []
-        canon = {}
-        for j in idxs:
-            c = fd.from_mont_device(spec_fr, scalars_mont[j])
-            canon[j] = c
-            channels += [(j, b) for b in range(scalar_max_bits(c))]
+        for slot, j in enumerate(idxs):
+            msb = 0
+            for i, v in enumerate(limb_max[:, slot].tolist()):
+                if v:
+                    msb = LIMB_BITS * i + int(v).bit_length()
+            channels += [(slot, b) for b in range(max(1, msb))]
         sums: dict[int, list[G1Jacobian]] = {j: [] for j in idxs}
-        for lo in range(0, len(channels), MSM_CHANNEL_CHUNK):
-            group = channels[lo: lo + MSM_CHANNEL_CHUNK]
-            # pad the chunk to a fixed channel count (one compile per (K, n))
-            k_pad = MSM_CHANNEL_CHUNK if len(channels) > MSM_CHANNEL_CHUNK \
-                else len(group)
-            masks = jnp.stack(
-                [(canon[j][b // LIMB_BITS] >> jnp.uint32(b % LIMB_BITS))
-                 & jnp.uint32(1) for j, b in group]
-                + [jnp.zeros((n,), jnp.uint32)] * (k_pad - len(group))
-            ).astype(bool)
+        K = MSM_CHANNEL_CHUNK
+        for lo in range(0, len(channels), K):
+            group = channels[lo: lo + K]
+            pad = K - len(group)
+            poly_idx = np.array([s for s, _ in group] + [0] * pad, np.int32)
+            bits = np.array([b for _, b in group] + [0] * pad, np.int32)
+            valid = np.array([True] * len(group) + [False] * pad)
+            masks = _bitplane_masks(canon, bits // LIMB_BITS, poly_idx,
+                                    (bits % LIMB_BITS).astype(np.uint32),
+                                    valid)
             sx, sy, sz = _masked_tree_sum_segmented(pxn, pyn, pzn, masks)
+            _mark(f"chunk {lo // K} tree")
             pts = jacobian_to_host(sx, sy, sz)
-            for (j, _b), p in zip(group, pts):
-                sums[j].append(p)
+            _mark(f"chunk {lo // K} to_host")
+            for (slot, _b), p in zip(group, pts):
+                sums[idxs[slot]].append(p)
         for j in idxs:
             results[j] = _horner_bits(sums[j]).to_affine()
+        _mark(f"n={n} horner+affine")
     return [results[j] for j in range(len(scalars_mont))]
 
 

@@ -1,0 +1,201 @@
+"""Fused BN254 G1 point-op Pallas kernels (Jacobian, a = 0).
+
+The XLA point path (curve/device.py jac_add/jac_double) lowers to ~30
+separate field-op kernels per point-op: every intermediate round-trips
+HBM, and every enclosing program (masked-tree MSM chunks, bucket scans,
+suffix sums) carries hundreds of pallas custom calls — the serialized
+executables reach 40+ MB, which the axon tunnel takes minutes to LOAD
+(measured 90-450 s per program, dwarfing the actual compute).
+
+These kernels run the complete add/double formulas inside VMEM: one
+custom call per point-op, ~30x fewer HBM round trips, ~30x smaller
+programs.  Formulas and special-case handling mirror curve/device.py
+exactly (dbl-2009-l doubling; full add with masked doubling/infinity
+branches), so results are bit-identical to the XLA path.
+
+Reference cost model: msm/mod.rs runs these on CPU with arkworks; the
+TPU-native design batches thousands of independent point-ops per call.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field.pallas_mont import (_INTERPRET, _coll_arg, _consts, _fadd_k,
+                                 _fsub_k, _mul_k, L, NB)
+from ..field.spec import FieldSpec
+
+
+def _point_ops(coll, p_l, mnp, mp):
+    mul = lambda a, b: _mul_k(a, b, coll, p_l, mnp, mp)
+    add = lambda a, b: _fadd_k(a, b, p_l)
+    sub = lambda a, b: _fsub_k(a, b, p_l)
+    dbl = lambda a: _fadd_k(a, a, p_l)
+    return mul, add, sub, dbl
+
+
+def _dbl_core(X, Y, Z, mul, add, sub, dbl):
+    """dbl-2009-l (matches device.py jac_double)."""
+    A = mul(X, X)
+    B = mul(Y, Y)
+    C = mul(B, B)
+    xb = add(X, B)
+    D = dbl(sub(sub(mul(xb, xb), A), C))
+    E = add(dbl(A), A)
+    F = mul(E, E)
+    X3 = sub(F, dbl(D))
+    Y3 = sub(mul(E, sub(D, X3)), dbl(dbl(dbl(C))))
+    Z3 = dbl(mul(Y, Z))
+    return X3, Y3, Z3
+
+
+def _iszero_k(x):
+    return jnp.all(x == 0, axis=0)
+
+
+def _sel(cond_cols, a, b):
+    """Column-mask select over [L, mb] limb tensors."""
+    return jnp.where(cond_cols[None, :], a, b)
+
+
+def _jac_add_core(P1, P2, mul, add, sub, dbl):
+    """Full Jacobian add with masked special cases (device.py jac_add)."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    z1z1 = mul(Z1, Z1)
+    z2z2 = mul(Z2, Z2)
+    u1 = mul(X1, z2z2)
+    u2 = mul(X2, z1z1)
+    s1 = mul(mul(Y1, Z2), z2z2)
+    s2 = mul(mul(Y2, Z1), z1z1)
+    h = sub(u2, u1)
+    rr = sub(s2, s1)
+    h2 = mul(h, h)
+    h3 = mul(h, h2)
+    v = mul(u1, h2)
+    X3 = sub(sub(mul(rr, rr), h3), dbl(v))
+    Y3 = sub(mul(rr, sub(v, X3)), mul(s1, h3))
+    Z3 = mul(mul(Z1, Z2), h)
+
+    dX, dY, dZ = _dbl_core(X1, Y1, Z1, mul, add, sub, dbl)
+
+    p1_inf = _iszero_k(Z1)
+    p2_inf = _iszero_k(Z2)
+    h_zero = _iszero_k(h) & ~p1_inf & ~p2_inf
+    r_zero = _iszero_k(rr)
+    is_dbl = h_zero & r_zero
+    is_opp = h_zero & ~r_zero
+
+    X3 = _sel(is_dbl, dX, X3)
+    Y3 = _sel(is_dbl, dY, Y3)
+    Z3 = _sel(is_dbl, dZ, Z3)
+    Z3 = _sel(is_opp, jnp.zeros_like(Z3), Z3)
+    X3 = _sel(p2_inf, X1, _sel(p1_inf, X2, X3))
+    Y3 = _sel(p2_inf, Y1, _sel(p1_inf, Y2, Y3))
+    Z3 = _sel(p2_inf, Z1, _sel(p1_inf, Z2, Z3))
+    return X3, Y3, Z3
+
+
+def _jac_add_kernel(x1, y1, z1, x2, y2, z2, coll_ref, rowcnt_ref, mnp_ref,
+                    mp_ref, p_ref, ox, oy, oz):
+    mb = x1.shape[-1]
+    coll = _coll_arg(coll_ref, rowcnt_ref)
+    p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
+    ops = _point_ops(coll, p_l, mnp_ref[:], mp_ref[:])
+    X3, Y3, Z3 = _jac_add_core((x1[:], y1[:], z1[:]),
+                               (x2[:], y2[:], z2[:]), *ops)
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+
+
+def _jac_dbl_kernel(x1, y1, z1, coll_ref, rowcnt_ref, mnp_ref, mp_ref, p_ref,
+                    ox, oy, oz):
+    mb = x1.shape[-1]
+    coll = _coll_arg(coll_ref, rowcnt_ref)
+    p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
+    ops = _point_ops(coll, p_l, mnp_ref[:], mp_ref[:])
+    X3, Y3, Z3 = _dbl_core(x1[:], y1[:], z1[:], *ops)
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+
+
+def _const_specs():
+    return [
+        pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, 2 * L + 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * L, 3 * L), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def _jac_add_call(spec: FieldSpec, n: int):
+    blk = pl.BlockSpec((L, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        _jac_add_kernel,
+        interpret=_INTERPRET,
+        out_shape=(out, out, out),
+        grid=(n // NB,),
+        in_specs=[blk] * 6 + _const_specs(),
+        out_specs=(blk, blk, blk),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jac_dbl_call(spec: FieldSpec, n: int):
+    blk = pl.BlockSpec((L, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        _jac_dbl_kernel,
+        interpret=_INTERPRET,
+        out_shape=(out, out, out),
+        grid=(n // NB,),
+        in_specs=[blk] * 3 + _const_specs(),
+        out_specs=(blk, blk, blk),
+    )
+
+
+def _flatten_pad(spec, tensors):
+    shape = jnp.broadcast_shapes(*[t.shape for t in tensors])
+    batch = 1
+    for s in shape[1:]:
+        batch *= s
+    n = max(NB, -(-batch // NB) * NB)
+    flat = []
+    for t in tensors:
+        f = jnp.broadcast_to(t, shape).reshape(L, batch)
+        if n != batch:
+            f = jnp.concatenate(
+                [f, jnp.zeros((L, n - batch), jnp.uint32)], axis=1)
+        flat.append(f)
+    return flat, shape, batch, n
+
+
+def jac_add_pallas(spec: FieldSpec, p1, p2):
+    """Fused Jacobian add of ([L, *b],)*3 coordinate triples."""
+    tensors, shape, batch, n = _flatten_pad(spec, list(p1) + list(p2))
+    consts = _consts(spec)
+    ox, oy, oz = _jac_add_call(spec, n)(*tensors, *consts)
+    unpack = lambda t: t[:, :batch].reshape(shape)
+    return unpack(ox), unpack(oy), unpack(oz)
+
+
+def jac_double_pallas(spec: FieldSpec, X, Y, Z):
+    """Fused Jacobian double of a [L, *b] coordinate triple."""
+    tensors, shape, batch, n = _flatten_pad(spec, [X, Y, Z])
+    consts = _consts(spec)
+    ox, oy, oz = _jac_dbl_call(spec, n)(*tensors, *consts)
+    unpack = lambda t: t[:, :batch].reshape(shape)
+    return unpack(ox), unpack(oy), unpack(oz)

@@ -62,13 +62,66 @@ def _collector_T(nl: int) -> np.ndarray:
     return mat
 
 
+_INT8_COLLECT = _os.environ.get("JOLT_MONT_INT8", "0") not in ("", "0")
+
+
+@functools.lru_cache(maxsize=None)
+def _collector_T8(nl: int) -> np.ndarray:
+    """int8 [4, 2*nl+1, nl*nl] 0/1 collector planes + f32 [4, 2*nl+1]
+    row-count correction vectors for the zero-point trick (see
+    _products_cols_i8).  Plane weights ({1, 256}) move OUT of the matrix
+    (applied as a shift on the s32 outputs) so every entry is 0/1."""
+    ncols = 2 * nl + 1
+    mat = np.zeros((4, ncols, nl * nl), dtype=np.int8)
+    for i in range(nl):
+        for j in range(nl):
+            mat[0, i + j, i * nl + j] = 1
+            mat[1, i + j, i * nl + j] = 1
+            mat[2, i + j + 1, i * nl + j] = 1
+            mat[3, i + j + 1, i * nl + j] = 1
+    rowcnt = mat.astype(np.float32).sum(axis=2) * 128.0   # 128 * (M @ 1)
+    return mat, rowcnt.astype(np.int32)
+
+
+def _products_cols_i8(a, b, coll8, rowcnt):
+    """Column sums of the double-width product via INT8 MXU dots.
+
+    The 8-bit product chunks c (0..255) do not fit int8, so each dot runs
+    on c' = c - 128 with the correction M@c = M@c' + 128*(M@1): the
+    matrices are 0/1, so 128*(M@1) is a per-row constant (precomputed).
+    s32 accumulation is exact; v5e int8 MXU runs at 2x the bf16 rate.
+    Bit-identical to the bf16 chunk-plane path."""
+    prod = a[:, None, :] * b[None, :, :]                  # [L, L, NB] u32
+    nb = prod.shape[-1]
+    flat = prod.reshape(L * L, nb)
+    cols = jnp.zeros((2 * L + 1, nb), jnp.int32)
+    for k in range(4):
+        # mask AFTER the shift (see _products_cols); cast the small masked
+        # byte, never the full-range u32.  (A u8 bitcast of the products
+        # would drop 2 VPU ops per plane, but Mosaic rejects bitwidth-
+        # changing bitcasts: "Changing bitwidths not supported".)
+        ch = (((flat >> (8 * k)) & 0xFF) if k else (flat & 0xFF)) \
+            .astype(jnp.int32)
+        ch8 = (ch - 128).astype(jnp.int8)
+        d = jax.lax.dot_general(
+            coll8[k], ch8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)             # [2L+1, NB]
+        d = d + rowcnt[k][:, None]
+        cols = cols + (d if k % 2 == 0 else (d << 8))
+    return cols.astype(jnp.uint32)
+
+
 def _products_cols(a, b, coll):
     """Column sums of the double-width product of two [L, NB] u32 limb
     blocks -> [2L+1, NB] u32 (each < 2^22, exact in f32 accumulation).
 
     coll: [4, 2L+1, L*L] chunk-plane collector (see _collector_T); the
     four bf16 dots accumulate in f32 (sums < 2^22, exact) and are
-    bit-identical to a single concatenated pass."""
+    bit-identical to a single concatenated pass.  With JOLT_MONT_INT8
+    (default on) coll is the int8 (mat, rowcnt) pair instead and the dots
+    run on the 2x-rate int8 MXU path."""
+    if _INT8_COLLECT:
+        return _products_cols_i8(a, b, coll[0], coll[1])
     prod = a[:, None, :] * b[None, :, :]                  # [L, L, NB] u32
     nb = prod.shape[-1]
     flat = prod.reshape(L * L, nb)
@@ -123,12 +176,20 @@ def _cond_sub_p(x, p_limbs):
     return jnp.where(borrow == 0, diff, x)
 
 
-def _mont_mul_kernel(a_ref, b_ref, coll_ref, mnp_ref, mp_ref, p_ref, out_ref):
+def _coll_arg(coll_ref, rowcnt_ref):
+    """The collector argument `_products_cols` expects: the (mat, rowcnt)
+    pair on the int8 path, the f32 chunk-plane tensor otherwise."""
+    return (coll_ref[:], rowcnt_ref[:]) if _INT8_COLLECT else coll_ref[:]
+
+
+def _mont_mul_kernel(a_ref, b_ref, coll_ref, rowcnt_ref, mnp_ref, mp_ref,
+                     p_ref, out_ref):
     a = a_ref[:]
     b = b_ref[:]
     nb = a.shape[-1]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, nb))
-    out_ref[:] = _mul_k(a, b, coll_ref[:], p_l, mnp_ref[:], mp_ref[:])
+    out_ref[:] = _mul_k(a, b, _coll_arg(coll_ref, rowcnt_ref), p_l,
+                        mnp_ref[:], mp_ref[:])
 
 
 @functools.lru_cache(maxsize=None)
@@ -147,6 +208,8 @@ def _mont_mul_call(spec: FieldSpec, n: int):
                 pl.BlockSpec((L, NB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, 2 * L + 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * L, 3 * L), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4 * L, 2 * L), full, memory_space=pltpu.VMEM),
@@ -167,14 +230,19 @@ def _mont_mul_call(spec: FieldSpec, n: int):
 def _consts(spec: FieldSpec):
     """HOST numpy constants — jnp arrays created here would become tracers
     of whatever transformation first calls this (and the lru_cache would
-    leak them into later traces).  Returns (collector, raw M_N', M_p,
-    p_limbs)."""
+    leak them into later traces).  Returns (collector, rowcnt, raw M_N',
+    M_p, p_limbs); on the int8 path collector/rowcnt are the 0/1 int8
+    planes + zero-point corrections, otherwise the f32 planes + a dummy."""
     from .spec import redc_matrices, redc_matrix_raw
-    coll = _collector_T(L)
+    if _INT8_COLLECT:
+        coll, rowcnt = _collector_T8(L)
+    else:
+        coll = _collector_T(L)
+        rowcnt = np.zeros((4, 2 * L + 1), np.int32)
     _, mp = redc_matrices(spec)
     mnpu = redc_matrix_raw(spec)
     p_limbs = np.asarray(spec.p_limbs, np.uint32).reshape(L, 1)
-    return coll, mnpu, mp, p_limbs
+    return coll, rowcnt, mnpu, mp, p_limbs
 
 
 def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
@@ -194,8 +262,8 @@ def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
         pad = jnp.zeros((L, n - batch), dtype=jnp.uint32)
         af = jnp.concatenate([af, pad], axis=1)
         bf = jnp.concatenate([bf, pad], axis=1)
-    coll, mnp, mp, p_limbs = _consts(spec)
-    out = _mont_mul_call(spec, n)(af, bf, coll, mnp, mp, p_limbs)
+    coll, rowcnt, mnp, mp, p_limbs = _consts(spec)
+    out = _mont_mul_call(spec, n)(af, bf, coll, rowcnt, mnp, mp, p_limbs)
     return out[:, :batch].reshape(shape)
 
 
@@ -251,8 +319,28 @@ def _split8_f(x):
         [lo[:, None, :], hi[:, None, :]], axis=1).reshape(2 * k, n)
 
 
+_INT8_AUX = _os.environ.get("JOLT_MONT_INT8AUX", "0") not in ("", "0")
+
+
 def _dot8(M, x8):
-    """Single-pass bf16 matmul of 8-bit-exact operands -> exact u32 cols."""
+    """Single-pass matmul of 8-bit-exact operands -> exact u32 cols.
+
+    bf16 path: entries/inputs < 2^8 are bf16-exact, f32-accumulated sums
+    < 2^21 are exact.  int8 path (JOLT_MONT_INT8AUX): both sides shift by
+    the 128 zero-point into int8 range and the four bilinear correction
+    terms (row-sums, col-sums, 128^2*K) restore the exact value — the MXU
+    runs at 2x the bf16 rate on v5e.  Bit-identical outputs."""
+    if _INT8_AUX:
+        K = M.shape[1]
+        Mi = (M.astype(jnp.int32) - 128).astype(jnp.int8)
+        xi = (x8.astype(jnp.int32) - 128).astype(jnp.int8)
+        d = jax.lax.dot_general(
+            Mi, xi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        rs = jnp.sum(Mi.astype(jnp.int32), axis=1, keepdims=True)
+        cs = jnp.sum(xi.astype(jnp.int32), axis=0, keepdims=True)
+        out = d + (rs << 7) + (cs << 7) + (K << 14)
+        return out.astype(jnp.uint32)
     out = jax.lax.dot_general(
         M.astype(jnp.bfloat16), x8.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
@@ -364,12 +452,12 @@ def _mod_reduce_lanes(u, p_l_col):
 # batch-leading Montgomery multiply (grand-product tree levels)
 # ---------------------------------------------------------------------------
 
-def _mont_mul_bl_kernel(a_ref, b_ref, coll_ref, mnp_ref, mp_ref, p_ref,
-                        out_ref):
+def _mont_mul_bl_kernel(a_ref, b_ref, coll_ref, rowcnt_ref, mnp_ref, mp_ref,
+                        p_ref, out_ref):
     n = a_ref.shape[-1]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, n))
     out = _mul_k(a_ref[:].reshape(L, n), b_ref[:].reshape(L, n),
-                 coll_ref[:], p_l, mnp_ref[:], mp_ref[:])
+                 _coll_arg(coll_ref, rowcnt_ref), p_l, mnp_ref[:], mp_ref[:])
     out_ref[:] = out.reshape(1, L, n)
 
 
@@ -388,6 +476,8 @@ def _mont_mul_bl_call(spec: FieldSpec, B: int, n: int):
                       pl.BlockSpec((4, 2 * L + 1, L * L),
                                    lambda b, i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
+                      pl.BlockSpec((4, 2 * L + 1), lambda b, i: (0, 0),
+                                   memory_space=pltpu.VMEM),
                       pl.BlockSpec((2 * L, 3 * L), full,
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((4 * L, 2 * L), full,
@@ -403,8 +493,9 @@ def mont_mul_bl_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
     """Montgomery product of batch-leading [B, L, n] limb tensors
     (n a multiple of NB)."""
     B, _, n = a.shape
-    coll, mnp, mp, p_limbs = _consts(spec)
-    return _mont_mul_bl_call(spec, B, n)(a, b, coll, mnp, mp, p_limbs)
+    coll, rowcnt, mnp, mp, p_limbs = _consts(spec)
+    return _mont_mul_bl_call(spec, B, n)(a, b, coll, rowcnt, mnp, mp,
+                                         p_limbs)
 
 
 # ---------------------------------------------------------------------------
@@ -425,8 +516,8 @@ GP_MB = 512              # pairs per block
 
 
 def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
-                          cmats_ref, coll_ref, mnp_ref, mp_ref, p_ref,
-                          out_ref):
+                          cmats_ref, coll_ref, rowcnt_ref, mnp_ref, mp_ref,
+                          p_ref, out_ref):
     """Cubic round-poly partial sums at t = 0, 2, 3 for one half-block.
 
     l*/r*: [B, L, mb] blocks cut from the lo/hi halves of the pair tensors
@@ -446,7 +537,7 @@ def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
     — and the transcript — is unchanged."""
     B = l0_ref.shape[0]
     mb = l0_ref.shape[2]
-    coll = coll_ref[:]
+    coll = _coll_arg(coll_ref, rowcnt_ref)
     mnp = mnp_ref[:]
     mp = mp_ref[:]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
@@ -574,6 +665,8 @@ def _pair_specs(B: int, h: int):
     consts = [
         pl.BlockSpec((4, 2 * L + 1, L * L), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, 2 * L + 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * L, 3 * L), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
@@ -615,7 +708,7 @@ def _gp_pair_bind_call(spec: FieldSpec, B: int, s: int):
                    jax.ShapeDtypeStruct((B, L, h), jnp.uint32),
                    jax.ShapeDtypeStruct((L, h), jnp.uint32)),
         grid=(nblocks,),
-        in_specs=[lo, hi, lo, hi, eqlo, eqhi, rmat] + consts[1:],
+        in_specs=[lo, hi, lo, hi, eqlo, eqhi, rmat] + consts[2:],
         out_specs=(pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((B, L, GP_MB), lambda i: (0, 0, i),
@@ -663,10 +756,10 @@ def gp_pair_evals_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
     (bit-identical to the XLA pair path; block partials accumulate inside
     the kernel across grid steps, so no host-graph reduction remains)."""
     B, _, s = l.shape
-    coll, mnp, mp, p_limbs = _consts(spec)
+    coll, rowcnt, mnp, mp, p_limbs = _consts(spec)
     cmats = scalar_conv_mats(coeffs)                       # [B, 4L, 2L]
     return _gp_pair_evals_call(spec, B, s)(
-        l, l, r, r, eq, eq, cmats, coll, mnp, mp, p_limbs)
+        l, l, r, r, eq, eq, cmats, coll, rowcnt, mnp, mp, p_limbs)
 
 
 def gp_pair_bind_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
@@ -675,7 +768,7 @@ def gp_pair_bind_pallas(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
     nl, nr: [B, L, s/2] — directly the next round's layer pair.  r_chal:
     [L] Montgomery limb vector of the round challenge."""
     B, _, s = l.shape
-    coll, mnp, mp, p_limbs = _consts(spec)
+    _, _, mnp, mp, p_limbs = _consts(spec)
     r_mat = scalar_conv_mats(r_chal.reshape(L, 1))[0]      # [4L, 2L]
     return _gp_pair_bind_call(spec, B, s)(
         l, l, r, r, eq, eq, r_mat, mnp, mp, p_limbs)

@@ -95,7 +95,7 @@ _ITER, _NITER = 29, 30
 
 
 def sha2_chain_program(n_iters: int,
-                       data_base: int = RAM_START_ADDRESS + 0x100000):
+                       data_base: int = RAM_START_ADDRESS + 0x2000):
     """hash = input (32 bytes); n_iters times: hash = sha256(hash);
     outputs the final 32-byte digest.
 
@@ -334,7 +334,7 @@ _KECCAK_ROT = [[0, 36, 3, 41, 18], [1, 44, 10, 45, 2], [62, 6, 43, 15, 61],
 
 
 def sha3_chain_program(n_iters: int,
-                       data_base: int = RAM_START_ADDRESS + 0x180000,
+                       data_base: int = RAM_START_ADDRESS + 0x2000,
                        pad_byte: int = 0x06):
     """hash = input (32 bytes); n_iters times: hash = sha3_256(hash);
     outputs the final 32-byte digest.  pad_byte 0x06 = NIST SHA3-256
@@ -515,7 +515,7 @@ def sha3_chain_expected(input_bytes: bytes, n_iters: int,
 # alloc (RAM-heavy) — examples/alloc analog
 # ---------------------------------------------------------------------------
 
-def alloc_sum_program(n: int, heap_base: int = RAM_START_ADDRESS + 0x200000):
+def alloc_sum_program(n: int, heap_base: int = RAM_START_ADDRESS + 0x2000):
     """Heap workload: "allocate" an n-element u32 vector on a bump heap,
     fill slot i with i*i (via repeated addition — no M extension), then
     re-walk the vector summing it; outputs the LE u32 sum.
@@ -628,7 +628,7 @@ def multi_function_expected(n: int) -> int:
 # heap-grown string)
 # ---------------------------------------------------------------------------
 
-def stdlib_program(n: int, heap_base: int = RAM_START_ADDRESS + 0x200000):
+def stdlib_program(n: int, heap_base: int = RAM_START_ADDRESS + 0x2000):
     """examples/stdlib/guest string_concat(n) analog: builds the
     concatenation of the decimal strings "0".."n-1" in a heap buffer —
     per-i digit extraction via division-by-10 (repeated subtraction; no M

@@ -103,3 +103,46 @@ def test_pallas_gp_pair_round_matches_xla():
     assert bool(jnp.all(jnp.moveaxis(want_nl, 0, 1) == got_nl))
     assert bool(jnp.all(jnp.moveaxis(want_nr, 0, 1) == got_nr))
     assert bool(jnp.all(want_neq == got_neq))
+
+
+@pytest.mark.skipif(not RUN, reason="TPU or interpret mode only")
+def test_pallas_point_ops_match_xla():
+    """Fused jac_add/jac_double kernels vs the XLA point path, including
+    the masked special cases (P+P, P+(-P), P+inf, inf+inf)."""
+    import os
+    from jolt_tpu.curve import device as cd
+    from jolt_tpu.curve.bn254 import G1Affine
+    from jolt_tpu.curve.pallas_point import jac_add_pallas, jac_double_pallas
+    from jolt_tpu.field.spec import fq_spec
+    import random
+    FQ = fq_spec()
+    rng = random.Random(99)
+    n = 300                                  # forces one padded block
+    g = G1Affine.generator().to_jacobian()
+    pts = [g.mul(rng.randrange(1, 1 << 40)).to_affine() for _ in range(n)]
+    x, y, inf = cd.points_to_device(pts)
+    one = fd.ones(FQ, (n,))
+    z = jnp.where(jnp.asarray(inf)[None], jnp.zeros_like(one), one)
+    x2 = jnp.roll(x, -1, axis=-1)
+    y2 = jnp.roll(y, -1, axis=-1)
+    z2 = jnp.roll(z, -1, axis=-1)
+    # weave in special cases: [5] doubling pair, [6] opposite, [7] rhs inf,
+    # [8] lhs inf
+    y2n = fd.fneg(FQ, y)
+    x2 = x2.at[:, 5].set(x[:, 5]); y2 = y2.at[:, 5].set(y[:, 5])
+    z2 = z2.at[:, 5].set(z[:, 5])
+    x2 = x2.at[:, 6].set(x[:, 6]); y2 = y2.at[:, 6].set(y2n[:, 6])
+    z2 = z2.at[:, 6].set(z[:, 6])
+    z2 = z2.at[:, 7].set(0)
+    z = z.at[:, 8].set(0)
+
+    os.environ["JOLT_TPU_NO_POINT_PALLAS"] = "1"   # XLA reference path
+    try:
+        want = cd.jac_add((x, y, z), (x2, y2, z2))
+        want_d = cd.jac_double(x, y, z)
+    finally:
+        del os.environ["JOLT_TPU_NO_POINT_PALLAS"]
+    got = jac_add_pallas(FQ, (x, y, z), (x2, y2, z2))
+    got_d = jac_double_pallas(FQ, x, y, z)
+    for w, gt in zip(want + want_d, got + got_d):
+        assert bool(jnp.all(w == gt))
