@@ -81,10 +81,12 @@ def bench_e2e(backend: str) -> dict:
     framework, and risk leaving no artifact at all."""
     from jolt_tpu.commitment.hyperkzg import HyperKZG
     from jolt_tpu.field import fr_spec
+    from jolt_tpu.utils import profiling
     from jolt_tpu.vm.guests import sha2_chain_expected, sha2_chain_program
     from jolt_tpu.vm.host import fibonacci_program, trace_program
     from jolt_tpu.vm.rv32i_vm import rv32i_vm
 
+    profiling.enable()
     spec = fr_spec()
     vm = rv32i_vm(spec)
     small = backend == "cpu"
@@ -102,11 +104,20 @@ def bench_e2e(backend: str) -> dict:
     t0 = time.perf_counter()
     pcs = HyperKZG.setup(n)
     _log(f"e2e: SRS 2^{n.bit_length() - 1} in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     pre = vm.preprocess(bytecode_rows, pcs)
+    _log(f"e2e: preprocess {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     proof, commitments, _, _ = vm.prove(device, steps, pre)
     prove_seconds = time.perf_counter() - t0
     _log(f"e2e: prove {prove_seconds:.2f}s")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profiling.print_cumulative()   # per-span roofline -> stderr
+    for line in buf.getvalue().splitlines():
+        _log(f"e2e:   {line}")
     t0 = time.perf_counter()
     vm.verify(pre, proof, commitments)
     verify_seconds = time.perf_counter() - t0
@@ -120,7 +131,12 @@ def bench_e2e(backend: str) -> dict:
 
 
 def main():
-    total = int(os.environ.get("JOLT_BENCH_TOTAL", "540"))
+    # Internal deadline: 29 min.  A SHORTER driver timeout is fine — its
+    # SIGTERM lands in _die() which prints the JSON with every completed
+    # stage (the kernel metric lands within ~2 min).  The old 540 s default
+    # self-truncated the e2e stage even when the driver would have allowed
+    # it to finish.
+    total = int(os.environ.get("JOLT_BENCH_TOTAL", "1740"))
     signal.signal(signal.SIGTERM, _die("SIGTERM"))
     wd = _watchdog(total)
 
@@ -132,11 +148,10 @@ def main():
     except OSError:
         pass
     import jax
-    # persistent kernel cache: repeated bench runs skip the (slow, 1-core)
-    # XLA/Mosaic compiles; harmless on a fresh machine
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # persistent kernel cache (repo-local: survives to the driver's run):
+    # repeated bench runs skip the (slow, 1-core) XLA/Mosaic compiles
+    from jolt_tpu.utils.caches import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache(jax)
     # The axon tunnel has been observed to hang backend init indefinitely
     # (device discovery retry loop).  Fall back to CPU after a deadline so
     # the driver always gets a JSON line tagged with the measured backend.
@@ -166,6 +181,18 @@ def main():
     from jolt_tpu.subprotocols.grand_product import (_pair_bind,
                                                      _pair_cubic_evals)
 
+    if os.environ.get("JOLT_BENCH_KERNEL", "1") in ("0", ""):
+        # e2e-only debugging mode
+        _OUT.update(value=0, vs_baseline=0.0)
+        if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
+            try:
+                _OUT.update(bench_e2e(backend))
+            except Exception as e:
+                _OUT["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+        wd.cancel()
+        _finalize()
+        return
+
     spec = fr_spec()
     B = 32           # batched circuits — real Jolt GP batches are this size
     #                  or larger (memory checking batches all ~54 memories'
@@ -189,10 +216,13 @@ def main():
     # not kernel throughput).  Each round's challenge is derived from its
     # own evals (a real data dependency, so nothing can be CSE'd away) —
     # exactly the dataflow a GKR layer runs between Fiat-Shamir events.
-    # K outer repetitions amortize dispatch latency.
+    # K outer repetitions amortize dispatch latency (K=2 keeps the traced
+    # program small — tracing + executable load through the tunnel cost
+    # ~170s at K=8 even with a warm compile cache; successive step_jit
+    # calls are independent and pipeline, so iters covers the rest).
     # Sweep only the rounds whose halves are whole Pallas blocks (h >= 512);
     # the tiny tail rounds are <3% of the muls but dominate compile time.
-    K = 8
+    K = 2
     rounds = s.bit_length() - 1 - 9
 
     def layer_sweep(l, rt, eq, coeffs, acc):
@@ -216,11 +246,10 @@ def main():
     jax.block_until_ready(out)  # compile + warmup
     _log("kernel stage compiled")
 
-    iters = 5
+    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step_jit(l, rt, eq, coeffs, r)
-    jax.block_until_ready(out)
+    outs = [step_jit(l, rt, eq, coeffs, r) for _ in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
 
     # field muls per round at per-side size s (h = s/2 sibling pairs):

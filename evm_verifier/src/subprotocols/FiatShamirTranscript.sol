@@ -29,6 +29,11 @@ library FiatShamirTranscript {
         _update(t, keccak256(abi.encodePacked(t.state, t.nRounds, added)));
     }
 
+    /// Raw unpadded bytes (transcript.rs append_bytes).
+    function appendBytes(Transcript memory t, bytes memory data) internal pure {
+        _update(t, keccak256(abi.encodePacked(t.state, t.nRounds, data)));
+    }
+
     function appendU64(Transcript memory t, uint64 x) internal pure {
         appendBytes32(t, bytes32(uint256(x)));
     }

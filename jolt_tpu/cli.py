@@ -26,8 +26,8 @@ def _init_jax(platform: str | None):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jolt_tpu_jit_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    from .utils.caches import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache(jax)
 
 
 def _make_pcs(name: str, spec, vm, device, steps, bytecode_rows):
@@ -291,6 +291,87 @@ def cmd_gp_bench(args):
     subprocess.run([sys.executable, "bench.py"], check=True)
 
 
+_GUEST_TEMPLATE = '''\
+"""Guest program for {name} — RV32IM via the jolt_tpu mini-assembler.
+
+The reference's `jolt new` scaffolds a Rust guest crate with a
+`#[jolt::provable]` fn (src/main.rs:48-100); here the guest is an
+assembled RV32IM program.  Raw ELF bytes (any RV32IM toolchain output)
+work too — pass them straight to build_provable.
+"""
+from jolt_tpu.vm.host import Assembler
+
+
+def program(n: int = 8):
+    """fib(n): result left in x2."""
+    asm = Assembler()
+    asm.addi(2, 0, 0)   # a = 0
+    asm.addi(3, 0, 1)   # b = 1
+    asm.addi(1, 0, 0)   # i = 0
+    asm.addi(4, 0, n)   # n
+    asm.label("loop")
+    asm.add(5, 2, 3)    # t = a + b
+    asm.add(2, 3, 0)    # a = b
+    asm.add(3, 5, 0)    # b = t
+    asm.addi(1, 1, 1)   # i += 1
+    asm.bne(1, 4, "loop")
+    asm.label("halt")
+    asm.jal(0, "halt")  # PC repeat => trace termination
+    return asm.finish()
+'''
+
+_HOST_TEMPLATE = '''\
+"""Host for {name}: build, prove, verify (the reference host crate's
+main.rs analog — macro output shape per jolt-sdk/macros/src/lib.rs:89-131).
+"""
+from jolt_tpu.sdk import build_provable
+
+from guest import program
+
+
+def main():
+    prove, verify = build_provable(program(), pcs="{pcs}")
+    outputs, artifacts = prove(b"")
+    print(f"trace length: {{artifacts.trace_length}}")
+    assert verify(artifacts), "proof rejected"
+    print("proof verified")
+
+
+if __name__ == "__main__":
+    main()
+'''
+
+_README_TEMPLATE = '''\
+# {name}
+
+A jolt_tpu guest/host project (scaffolded by `python -m jolt_tpu.cli new`).
+
+- `guest.py` — the RV32IM guest program (mini-assembler; raw ELF bytes from
+  any RV32IM toolchain also work).
+- `host.py` — proves and verifies one execution:
+
+      python host.py
+'''
+
+
+def cmd_new(args):
+    """Scaffold a guest+host project (reference: `jolt new`,
+    src/main.rs:48-100)."""
+    import os
+    d = args.name
+    if os.path.exists(d):
+        raise SystemExit(f"{d!r} already exists")
+    os.makedirs(d)
+    ctx = {"name": os.path.basename(d), "pcs": args.pcs}
+    with open(os.path.join(d, "guest.py"), "w") as f:
+        f.write(_GUEST_TEMPLATE.format(**ctx))
+    with open(os.path.join(d, "host.py"), "w") as f:
+        f.write(_HOST_TEMPLATE.format(**ctx))
+    with open(os.path.join(d, "README.md"), "w") as f:
+        f.write(_README_TEMPLATE.format(**ctx))
+    print(f"created {d}/: guest.py host.py README.md")
+
+
 def main():
     p = argparse.ArgumentParser(prog="jolt_tpu")
     p.add_argument("--platform", default=None,
@@ -300,6 +381,10 @@ def main():
                         "DIR (Perfetto/TensorBoard-compatible; the analog "
                         "of the reference's --format chrome tracing)")
     sub = p.add_subparsers(dest="cmd", required=True)
+    nw = sub.add_parser("new", help="scaffold a guest+host project")
+    nw.add_argument("name")
+    nw.add_argument("--pcs", default="hyperkzg", choices=["mock", "hyperkzg"])
+    nw.set_defaults(fn=cmd_new)
     f = sub.add_parser("prove-fib")
     f.add_argument("--n", type=int, default=8)
     f.add_argument("--pcs", default="mock", choices=["mock", "hyperkzg"])

@@ -100,9 +100,8 @@ def _srs_cache_path(n: int, seed: int) -> str | None:
     import os
     if n < (1 << 12) or os.environ.get("JOLT_TPU_SRS_CACHE", "1") in ("0", ""):
         return None
-    d = os.environ.get("JOLT_TPU_SRS_CACHE_DIR", "/tmp/jolt_tpu_srs_cache")
-    os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"srs_{n}_{seed:x}.npz")
+    from ..utils.caches import srs_cache_dir
+    return os.path.join(srs_cache_dir(), f"srs_{n}_{seed:x}.npz")
 
 
 def srs_setup(max_degree: int, seed: int = 0x6A6F6C74) -> tuple[KZGProverKey, KZGVerifierKey]:

@@ -312,9 +312,19 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
     (layer_proofs, r_grand_product, claims) after folding each layer's
     left/right claims with a fresh challenge.
     """
+    from ..utils.profiling import span
+
     layer_proofs: list[BatchedGrandProductLayerProof] = []
     n_real = len(claims)
     for l, r in reversed(layers):
+        # roofline accounting: per round at per-side size s, the cubic
+        # evals cost h*(B*5+3) field muls and the bind h*(B*2+1), h = s/2
+        # halving each round (grand_product.rs:335-396 mul counts)
+        _B, _, _s = l.shape
+        _ops = sum((_s >> (j + 1)) * (_B * 7 + 4)
+                   for j in range(len(r_grand_product)))
+        layer_span = span("BatchedDenseGP::layer", ops=_ops)
+        layer_span.__enter__()
         coeffs = transcript.challenge_vector(len(claims))
         joint_claim = FElt(0, spec)
         for c, co in zip(claims, coeffs):
@@ -385,6 +395,7 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
 
         layer_proofs.append(BatchedGrandProductLayerProof(
             SumcheckInstanceProof(compressed), left_claims, right_claims))
+        layer_span.__exit__(None, None, None)
     return layer_proofs, r_grand_product, claims
 
 

@@ -103,29 +103,38 @@ def prove_arbitrary(num_rounds: int,
     """
     spec = spec or fr_spec()
     polys = tuple(polys)
-    if num_rounds > 0 and _use_device_fs():
-        compressed, r, polys = _prove_rounds_device(
-            num_rounds, polys, comb_func, degree, transcript, spec,
-            bot=False, claim=None)
-        final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec)
-                       for p in polys]
+    # roofline accounting (approximate — comb_func cost assumed to be the
+    # (npolys-1)-mul product form): per round at half-size h, (degree+1)
+    # comb evaluations of h*(npolys-1) muls plus the npolys*h bind muls
+    from ..utils.profiling import span
+    _np = len(polys)
+    _n = int(polys[0].shape[-1]) if polys else 0
+    _ops = sum((_n >> (j + 1)) * ((degree + 1) * (_np - 1) + _np)
+               for j in range(num_rounds))
+    with span("Sumcheck::prove_arbitrary", ops=_ops):
+        if num_rounds > 0 and _use_device_fs():
+            compressed, r, polys = _prove_rounds_device(
+                num_rounds, polys, comb_func, degree, transcript, spec,
+                bot=False, claim=None)
+            final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec)
+                           for p in polys]
+            return SumcheckInstanceProof(compressed), r, final_evals
+        r: list[FElt] = []
+        compressed: list[CompressedUniPoly] = []
+        for _ in range(num_rounds):
+            evals_dev = _round_evals(spec, comb_func, degree, polys)
+            evals = _device_scalars_to_felts(spec, evals_dev)
+            round_poly = UniPoly.from_evals(evals)
+            cpoly = round_poly.compress()
+            cpoly.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar()
+            r.append(r_j)
+            polys = _bind_all(spec, polys, fd.scalar_to_device(spec, r_j.v))
+            compressed.append(cpoly)
+        final_evals = [
+            FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys
+        ]
         return SumcheckInstanceProof(compressed), r, final_evals
-    r: list[FElt] = []
-    compressed: list[CompressedUniPoly] = []
-    for _ in range(num_rounds):
-        evals_dev = _round_evals(spec, comb_func, degree, polys)
-        evals = _device_scalars_to_felts(spec, evals_dev)
-        round_poly = UniPoly.from_evals(evals)
-        cpoly = round_poly.compress()
-        cpoly.append_to_transcript(transcript)
-        r_j = transcript.challenge_scalar()
-        r.append(r_j)
-        polys = _bind_all(spec, polys, fd.scalar_to_device(spec, r_j.v))
-        compressed.append(cpoly)
-    final_evals = [
-        FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys
-    ]
-    return SumcheckInstanceProof(compressed), r, final_evals
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))

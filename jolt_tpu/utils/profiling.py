@@ -23,7 +23,15 @@ from collections import defaultdict
 _lock = threading.Lock()
 _totals: dict[str, float] = defaultdict(float)
 _counts: dict[str, int] = defaultdict(int)
+_ops: dict[str, int] = defaultdict(int)
 _enabled = False
+
+# Roofline ceiling for the ops/s column: useful field-mul throughput of the
+# fused Montgomery kernel at saturation.  bench.py's GP-round kernel is the
+# measured speed-of-light on v5e (~490M field-muls/s/chip, docs/PERF.md);
+# spans that fall far below it are dispatch/HBM/serial-phase bound, not
+# compute bound.  Override per machine with set_peak_ops().
+_peak_ops_per_s = 4.9e8
 
 
 def enable(on: bool = True) -> None:
@@ -31,15 +39,27 @@ def enable(on: bool = True) -> None:
     _enabled = on
 
 
+def set_peak_ops(ops_per_s: float) -> None:
+    """Set the roofline denominator (field-muls/s/chip) for reports."""
+    global _peak_ops_per_s
+    _peak_ops_per_s = ops_per_s
+
+
 def reset() -> None:
     with _lock:
         _totals.clear()
         _counts.clear()
+        _ops.clear()
 
 
 @contextlib.contextmanager
-def span(name: str):
-    """Time a region (cumulative per name) + tag device ops for the profiler."""
+def span(name: str, ops: int = 0):
+    """Time a region (cumulative per name) + tag device ops for the profiler.
+
+    ``ops``: optional field-multiply count the region performs; cumulative
+    per name, reported as achieved ops/s and % of the kernel roofline
+    (the reference's analog is per-span memory/timing instrumentation,
+    utils/profiling.rs:17-74 + sum_timer.rs)."""
     if not _enabled:
         yield
         return
@@ -51,11 +71,12 @@ def span(name: str):
     with _lock:
         _totals[name] += dt
         _counts[name] += 1
+        _ops[name] += ops
 
 
-def cumulative() -> list[tuple[str, int, float]]:
+def cumulative() -> list[tuple[str, int, float, int]]:
     with _lock:
-        rows = [(k, _counts[k], _totals[k]) for k in _totals]
+        rows = [(k, _counts[k], _totals[k], _ops[k]) for k in _totals]
     return sorted(rows, key=lambda r: -r[2])
 
 
@@ -64,9 +85,15 @@ def print_cumulative() -> None:
     if not rows:
         return
     width = max(len(r[0]) for r in rows)
-    print(f"{'span'.ljust(width)}  calls  total_s")
-    for name, calls, total in rows:
-        print(f"{name.ljust(width)}  {calls:5d}  {total:8.3f}")
+    print(f"{'span'.ljust(width)}  calls  total_s  Mmuls/s  %roof")
+    for name, calls, total, ops in rows:
+        if ops and total > 0:
+            rate = ops / total
+            print(f"{name.ljust(width)}  {calls:5d}  {total:8.3f}"
+                  f"  {rate / 1e6:7.1f}  {100 * rate / _peak_ops_per_s:5.1f}")
+        else:
+            print(f"{name.ljust(width)}  {calls:5d}  {total:8.3f}"
+                  f"  {'-':>7}  {'-':>5}")
 
 
 @contextlib.contextmanager

@@ -52,9 +52,10 @@ jax.config.update("jax_platforms",
 # JOLT_TEST_CACHE_DIR override: concurrent writers can corrupt a shared
 # cache (observed SIGSEGV in backend_compile_and_load) — point a second
 # test process at its own directory.
+from jolt_tpu.utils.caches import jit_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JOLT_TEST_CACHE_DIR",
-                                 "/tmp/jolt_tpu_jit_cache"))
+                  os.environ.get("JOLT_TEST_CACHE_DIR", jit_cache_dir()))
 # JOLT_TEST_NO_CACHE_WRITE=1: keep cache READS but write nothing — the
 # jax 0.9.0 cache writer segfaults on certain executables on this box
 # (put_executable_and_time); run_tests.sh retries crashed files this way.
