@@ -94,16 +94,23 @@ def bench_e2e(backend: str) -> dict:
         "sha2-chain(1) rv32i hyperkzg"
     inputs = b"" if small else b"\x05" * 32
     program = fibonacci_program(8) if small else sha2_chain_program(1)
+    # stage results land in _OUT INCREMENTALLY: a partial run (driver
+    # SIGTERM / watchdog) still reports every completed stage
+    _OUT["e2e_workload"] = workload
     t0 = time.perf_counter()
     steps, device, bytecode_rows = trace_program(program, vm, inputs=inputs)
     trace_seconds = time.perf_counter() - t0
     if not small:
         assert bytes(device.outputs)[:32] == sha2_chain_expected(inputs, 1)
     _log(f"e2e: trace {len(steps)} steps in {trace_seconds:.2f}s")
+    _OUT["e2e_trace_length"] = len(steps)
+    _OUT["e2e_trace_seconds"] = round(trace_seconds, 3)
     n = vm.required_srs_len(device, steps, bytecode_rows)
     t0 = time.perf_counter()
     pcs = HyperKZG.setup(n)
-    _log(f"e2e: SRS 2^{n.bit_length() - 1} in {time.perf_counter() - t0:.1f}s")
+    srs_seconds = time.perf_counter() - t0
+    _log(f"e2e: SRS 2^{n.bit_length() - 1} in {srs_seconds:.1f}s")
+    _OUT["e2e_srs_seconds"] = round(srs_seconds, 3)
     t0 = time.perf_counter()
     pre = vm.preprocess(bytecode_rows, pcs)
     _log(f"e2e: preprocess {time.perf_counter() - t0:.1f}s")
@@ -111,6 +118,7 @@ def bench_e2e(backend: str) -> dict:
     proof, commitments, _, _ = vm.prove(device, steps, pre)
     prove_seconds = time.perf_counter() - t0
     _log(f"e2e: prove {prove_seconds:.2f}s")
+    _OUT["e2e_prove_seconds"] = round(prove_seconds, 3)
     import contextlib
     import io
     buf = io.StringIO()

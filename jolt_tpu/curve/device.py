@@ -293,11 +293,24 @@ def _msm_windows_impl(px, py, pz, inf_mask, scalar_limbs, n_windows=None,
 MSM_CHANNEL_CHUNK = 64  # bit-plane channels per dispatch (bounds live memory)
 
 
-def _masked_tree_sum(px, py, pz, masks):
-    """sum_{i: masks[k, i]} P_i per channel k -> Jacobian [L, K].
+def _msm_host_tail() -> int:
+    """Tree level below which the masked sum finishes on host: each
+    halving level is its own Mosaic kernel SHAPE inside the tree program
+    (log2(N) shapes), so stopping the device tree at 128 nearly halves
+    the program's (1-core, minutes-long) compile while the host finishes
+    with ~K*tail bigint point-adds (milliseconds).  JOLT_MSM_HOST_TAIL=1
+    disables (pure device tree)."""
+    import os
+    v = os.environ.get("JOLT_MSM_HOST_TAIL")
+    return int(v) if v is not None else 128
+
+
+def _masked_tree_sum(px, py, pz, masks, stop: int = 1):
+    """sum_{i: masks[k, i]} P_i per channel k, reduced to `stop` partials
+    per channel -> Jacobian [L, K, stop] (stop=1: fully reduced [L, K]).
 
     px/py/pz: [L, N] Jacobian (Z=0 ⇔ infinity); masks: [K, N] bool.
-    One log2(N)-depth pass of dense jac_adds; the mask is applied to Z on
+    log2(N/stop) levels of dense jac_adds; the mask is applied to Z on
     the way in (Z=0 points are identities for jac_add)."""
     K, N = masks.shape
     X = jnp.broadcast_to(px[:, None, :], (px.shape[0], K, N))
@@ -305,7 +318,7 @@ def _masked_tree_sum(px, py, pz, masks):
     Z = jnp.where(masks[None], jnp.broadcast_to(pz[:, None, :], X.shape), 0)
     P = (X, Y, Z)
     n = N
-    while n > 1:
+    while n > stop:
         half = n // 2
         lo = tuple(t[..., :half] for t in P)
         hi = tuple(t[..., half:2 * half] for t in P)
@@ -317,32 +330,41 @@ def _masked_tree_sum(px, py, pz, masks):
                       for f, t in zip(first, s))
         P = s
         n = P[0].shape[-1]
-    return tuple(t[..., 0] for t in P)  # [L, K]
+    if stop == 1:
+        return tuple(t[..., 0] for t in P)  # [L, K]
+    return P                                # [L, K, stop]
 
 
-_masked_tree_sum_jit = jax.jit(_masked_tree_sum)
+_masked_tree_sum_jit = jax.jit(_masked_tree_sum, static_argnums=4)
 _jac_add_jit = jax.jit(lambda a, b: jac_add(a, b))
 
 MSM_SEGMENT = 1 << 16  # points per tree-sum dispatch (bounds the [L, K, N]
 #                        broadcast: at N = 2^21, K = 64 it would be ~25 GB)
 
 
-def _masked_tree_sum_segmented(px, py, pz, masks):
-    """_masked_tree_sum with the point axis processed in fixed segments;
-    per-segment [L, K] partials fold with one tiny jac_add each."""
-    N = masks.shape[1]
-    if N <= MSM_SEGMENT:
-        return _masked_tree_sum_jit(px, py, pz, masks)
-    acc = None
+def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
+    """Masked tree sum per channel -> HOST Jacobians [K].
+
+    Device tree reduces each segment to `tail` partials per channel
+    (fewer Mosaic kernel shapes in the program — see _msm_host_tail),
+    the host folds the partials (~K*tail bigint adds, milliseconds)."""
+    K, N = masks.shape
+    tail = max(1, min(_msm_host_tail(), N))
+    acc = [G1Jacobian.identity() for _ in range(K)]
     for off in range(0, N, MSM_SEGMENT):
         sl = tuple(t[..., off:off + MSM_SEGMENT] for t in (px, py, pz))
         ms = masks[:, off:off + MSM_SEGMENT]
-        if ms.shape[1] < MSM_SEGMENT:  # Z=0 padding = group identity
-            w = MSM_SEGMENT - ms.shape[1]
+        if ms.shape[1] < MSM_SEGMENT and N > MSM_SEGMENT:
+            w = MSM_SEGMENT - ms.shape[1]  # Z=0 padding = group identity
             sl = tuple(jnp.pad(t, ((0, 0), (0, w))) for t in sl)
             ms = jnp.pad(ms, ((0, 0), (0, w)))
-        s = _masked_tree_sum_jit(*sl, ms)
-        acc = s if acc is None else _jac_add_jit(acc, s)
+        sx, sy, sz = _masked_tree_sum_jit(*sl, ms, tail)
+        parts = jacobian_to_host(sx, sy, sz)   # K*tail, channel-major
+        for k in range(K):
+            a = acc[k]
+            for p in parts[k * tail: (k + 1) * tail]:
+                a = a.add(p)
+            acc[k] = a
     return acc
 
 
@@ -448,10 +470,8 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
             masks = _bitplane_masks(canon, bits // LIMB_BITS, poly_idx,
                                     (bits % LIMB_BITS).astype(np.uint32),
                                     valid)
-            sx, sy, sz = _masked_tree_sum_segmented(pxn, pyn, pzn, masks)
-            _mark(f"chunk {lo // K} tree")
-            pts = jacobian_to_host(sx, sy, sz)
-            _mark(f"chunk {lo // K} to_host")
+            pts = _masked_tree_sum_hosttail(pxn, pyn, pzn, masks)
+            _mark(f"chunk {lo // K} tree+fold")
             for (slot, _b), p in zip(group, pts):
                 sums[idxs[slot]].append(p)
         for j in idxs:

@@ -526,15 +526,17 @@ def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
     batch AND the block's pairs — grand_product.rs:335-396 semantics,
     coefficient folded into `left`).
 
-    LAZY-CARRY batching (docs/PERF.md gap #2): the coefficient is applied
-    to the REDUCED products t_i = left_i * right_i via its conv matrix,
-    and the resulting 16-bit-weighted columns are accumulated RAW across
-    a group of 4 batch entries — c_b * t_b < p² per term, so a 4-term sum
-    stays < 4p² < R*p (REDC-valid) and < 2^32 per column (u32-safe).
-    One carry+REDC+add flushes each group, replacing the per-entry
-    scalar-multiply REDC (x2) and modular accumulate (x3) of the naive
-    ordering.  Mod-p result per group is identical, so the full batch sum
-    — and the transcript — is unchanged."""
+    LAZY-CARRY batching (docs/PERF.md gap #2), reference mul order
+    (grand_product.rs:363-390): the coefficient multiplies l0 and l1 via
+    the scalar-matrix fast path (2 coeff muls per entry — the reference's
+    own trick), the three cubic products are taken on the coeff-scaled
+    left operands and kept as RAW collector columns, and those columns
+    accumulate across a group of 4 batch entries — each product < p², so
+    a 4-term sum stays < 4p² < R*p (REDC-valid) and each column
+    < 4*2^22 < 2^24 (prefold-safe).  ONE carry+REDC+add flushes each
+    group — 11 REDCs per 4-entry group instead of 15, and 8 conv matmuls
+    instead of 12.  Mod-p result per group is identical, so the full
+    batch sum — and the transcript — is unchanged."""
     B = l0_ref.shape[0]
     mb = l0_ref.shape[2]
     coll = _coll_arg(coll_ref, rowcnt_ref)
@@ -542,34 +544,31 @@ def _gp_pair_evals_kernel(l0_ref, l1_ref, r0_ref, r1_ref, eq0_ref, eq1_ref,
     mp = mp_ref[:]
     p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
     zero = jnp.zeros((L, mb), jnp.uint32)
-    zero_w = jnp.zeros((2 * L, mb), jnp.uint32)
+    zero_w = jnp.zeros((2 * L + 1, mb), jnp.uint32)
 
     def entry_raw(b):
-        """One batch entry's c_b-weighted product columns (raw [2L, mb])."""
+        """One entry's coeff-scaled cubic products as raw [2L+1] columns."""
         sl = lambda ref: ref[pl.ds(b, 1), :, :].reshape(L, mb)
         l0, l1, r0, r1 = sl(l0_ref), sl(l1_ref), sl(r0_ref), sl(r1_ref)
         mc = cmats_ref[pl.ds(b, 1), :, :].reshape(4 * L, 2 * L)
-        m_l = _fsub_k(l1, l0, p_l)
+        cl0 = _mul_scalar_k(mc, l0, p_l, mnp, mp)
+        cl1 = _mul_scalar_k(mc, l1, p_l, mnp, mp)
+        m_l = _fsub_k(cl1, cl0, p_l)
         m_r = _fsub_k(r1, r0, p_l)
-        le2 = _fadd_k(l1, m_l, p_l)
+        le2 = _fadd_k(cl1, m_l, p_l)
         le3 = _fadd_k(le2, m_l, p_l)
         re2 = _fadd_k(r1, m_r, p_l)
         re3 = _fadd_k(re2, m_r, p_l)
-        t0 = _mul_k(l0, r0, coll, p_l, mnp, mp)
-        t2 = _mul_k(le2, re2, coll, p_l, mnp, mp)
-        t3 = _mul_k(le3, re3, coll, p_l, mnp, mp)
-        return tuple(_fold16(_dot8(mc, _split8_f(t)))
-                     for t in (t0, t2, t3))
+        t0 = _products_cols(cl0, r0, coll)
+        t2 = _products_cols(le2, re2, coll)
+        t3 = _products_cols(le3, re3, coll)
+        return t0, t2, t3
 
     def flush(acc, w):
         """REDC a group's raw column sums and fold into the accumulators."""
-        out = []
-        for a, wi in zip(acc, w):
-            w33 = jnp.concatenate([wi, jnp.zeros((1, mb), jnp.uint32)],
-                                  axis=0)
-            out.append(_fadd_k(a, _redc8_k(_prefold(w33), mnp, mp, p_l),
-                               p_l))
-        return tuple(out)
+        return tuple(
+            _fadd_k(a, _redc8_k(_prefold(wi), mnp, mp, p_l), p_l)
+            for a, wi in zip(acc, w))
 
     n_groups, tail = divmod(B, 4)
 

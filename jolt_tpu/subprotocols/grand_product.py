@@ -244,7 +244,10 @@ def _toggle_round_fs_jit(spec: FieldSpec):
 # prover
 # ---------------------------------------------------------------------------
 
-def _pair_claims(spec: FieldSpec, top: tuple) -> list[FElt]:
+def _pair_claims(spec: FieldSpec, top) -> list[FElt]:
+    if isinstance(top, HostPairLayer):
+        return [FElt(lb[0] * rb[0] % spec.p, spec)
+                for lb, rb in zip(top.l, top.r)]
     l, r = top
     prods = fd.fmul(spec, jnp.moveaxis(l, 0, 1)[..., 0],
                     jnp.moveaxis(r, 0, 1)[..., 0])        # [L, B]
@@ -252,12 +255,127 @@ def _pair_claims(spec: FieldSpec, top: tuple) -> list[FElt]:
             for v in fd.device_to_ints(spec, prods).tolist()]
 
 
-def _build_pair_tree(spec: FieldSpec, leaves: jnp.ndarray) -> list[tuple]:
-    """Interleaved leaves [L, B, n] -> list of (l, r) pair layers, bottom-up
-    (layers[0] the largest, layers[-1] size-1)."""
+# ---------------------------------------------------------------------------
+# host tail: layers at or below a size threshold live as Python bigints
+# ---------------------------------------------------------------------------
+#
+# The shape-halving GKR rounds compile one XLA program per (B, s) pair; the
+# long tail of tiny shapes dominates COMPILE count (and, on the tunneled
+# TPU, per-round dispatch latency) while holding <1% of the field muls.
+# Below JOLT_TPU_HOST_TAIL (default 512 per side) layers are pulled to the
+# host once and proved in Python bigint arithmetic — mathematically
+# identical mod p, so round polys, challenges, and the transcript are
+# bit-for-bit unchanged (cross-checked by tests/test_grand_product.py).
+
+def _tail_threshold() -> int:
+    import os
+    v = os.environ.get("JOLT_TPU_HOST_TAIL")
+    if v is not None:
+        return int(v)
+    return 512
+
+
+class HostPairLayer:
+    """Bit-reversed (l, r) pair layer as host ints: l[b][i], r[b][i]."""
+    __slots__ = ("l", "r")
+
+    def __init__(self, l: list, r: list):
+        self.l = l
+        self.r = r
+
+    @property
+    def size(self) -> int:
+        return len(self.l[0])
+
+    @property
+    def batch(self) -> int:
+        return len(self.l)
+
+
+def _pair_layer_to_host(spec: FieldSpec, l: jnp.ndarray,
+                        r: jnp.ndarray) -> HostPairLayer:
+    li = fd.device_to_ints(spec, jnp.moveaxis(l, 1, 0))   # [B, s] objects
+    ri = fd.device_to_ints(spec, jnp.moveaxis(r, 1, 0))
+    return HostPairLayer([[int(x) for x in row] for row in li.tolist()],
+                         [[int(x) for x in row] for row in ri.tolist()])
+
+
+def _host_tree_level(p: int, layer: HostPairLayer) -> HostPairLayer:
+    """Mirror of _pair_tree_level on host ints."""
+    h = layer.size // 2
+    prods = [[a * b % p for a, b in zip(lb, rb)]
+             for lb, rb in zip(layer.l, layer.r)]
+    return HostPairLayer([row[:h] for row in prods],
+                         [row[h:] for row in prods])
+
+
+def _eq_table_br_host(p: int, r_vals: list[int]) -> list[int]:
+    """Mirror of eq_evals_device_br (concatenation DP, bit-reversed)."""
+    table = [1]
+    for rj in r_vals:
+        hi = [x * rj % p for x in table]
+        table = [(x - h) % p for x, h in zip(table, hi)] + hi
+    return table
+
+
+def _host_cubic_evals(p: int, ll: list, rr: list, eq: list,
+                      coeffs: list[int]):
+    """Mirror of _pair_cubic_evals on host ints -> (e0, e2, e3)."""
+    h = len(eq) // 2
+    e0 = e2 = e3 = 0
+    for i in range(h):
+        s0 = s2 = s3 = 0
+        for b, c in enumerate(coeffs):
+            l0 = c * ll[b][i] % p
+            l1 = c * ll[b][i + h] % p
+            ml = l1 - l0
+            le2 = l1 + ml
+            le3 = le2 + ml
+            r0 = rr[b][i]
+            r1 = rr[b][i + h]
+            mr = r1 - r0
+            re2 = r1 + mr
+            re3 = re2 + mr
+            s0 += l0 * r0
+            s2 += le2 * re2
+            s3 += le3 * re3
+        eq1 = eq[i + h]
+        meq = eq1 - eq[i]
+        eqe2 = eq1 + meq
+        e0 += eq[i] * (s0 % p)
+        e2 += eqe2 * (s2 % p)
+        e3 += (eqe2 + meq) * (s3 % p)
+    return e0 % p, e2 % p, e3 % p
+
+
+def _host_bind(p: int, rows: list, rj: int) -> list:
+    h = len(rows[0]) // 2
+    return [[(row[i] + rj * (row[i + h] - row[i])) % p for i in range(h)]
+            for row in rows]
+
+
+def _build_pair_tree(spec: FieldSpec, leaves: jnp.ndarray,
+                     host_tail: int | None = None) -> list:
+    """Interleaved leaves [L, B, n] -> list of pair layers, bottom-up
+    (layers[0] the largest, layers[-1] size-1).  Layers with per-side size
+    <= host_tail are HostPairLayer (see module comment above)."""
+    tail = _tail_threshold() if host_tail is None else host_tail
     layers = [_interleaved_to_pair(spec, leaves)]
-    while layers[-1][0].shape[-1] > 1:
-        layers.append(_pair_tree_level(spec, *layers[-1]))
+    if tail and layers[0][0].shape[-1] <= tail:
+        layers = [_pair_layer_to_host(spec, *layers[0])]
+    while True:
+        top = layers[-1]
+        if isinstance(top, HostPairLayer):
+            if top.size <= 1:
+                break
+            layers.append(_host_tree_level(spec.p, top))
+        else:
+            if top[0].shape[-1] <= 1:
+                break
+            nxt = _pair_tree_level(spec, *top)
+            if tail and nxt[0].shape[-1] <= tail:
+                nxt = _pair_layer_to_host(spec, *nxt)
+            layers.append(nxt)
     return layers
 
 
@@ -283,7 +401,10 @@ class BatchedDenseGrandProduct:
         silently replicated."""
         spec = spec or fr_spec()
         real_batch = leaves.shape[1]
-        layers = _build_pair_tree(spec, leaves)
+        # host-tail layers are incompatible with batch sharding (and the
+        # mesh path exists to validate sharded execution) — disable it there
+        layers = _build_pair_tree(spec, leaves,
+                                  host_tail=0 if mesh is not None else None)
         if mesh is not None:
             from ..parallel.sharding import shard_gp_pair_layers
             layers = shard_gp_pair_layers(mesh, layers)
@@ -316,11 +437,16 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
 
     layer_proofs: list[BatchedGrandProductLayerProof] = []
     n_real = len(claims)
-    for l, r in reversed(layers):
+    for layer in reversed(layers):
+        host_layer = isinstance(layer, HostPairLayer)
+        if host_layer:
+            _B, _s = layer.batch, layer.size
+        else:
+            l, r = layer
+            _B, _, _s = l.shape
         # roofline accounting: per round at per-side size s, the cubic
         # evals cost h*(B*5+3) field muls and the bind h*(B*2+1), h = s/2
         # halving each round (grand_product.rs:335-396 mul counts)
-        _B, _, _s = l.shape
         _ops = sum((_s >> (j + 1)) * (_B * 7 + 4)
                    for j in range(len(r_grand_product)))
         layer_span = span("BatchedDenseGP::layer", ops=_ops)
@@ -329,6 +455,49 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
         joint_claim = FElt(0, spec)
         for c, co in zip(claims, coeffs):
             joint_claim = joint_claim + c * co
+        num_rounds = len(r_grand_product)
+
+        r_sumcheck: list[FElt] = []
+        compressed: list[CompressedUniPoly] = []
+        if host_layer:
+            # host-tail rounds: pure bigint arithmetic, zero dispatches;
+            # identical round polys / transcript events mod p
+            p = spec.p
+            ll, rr = layer.l, layer.r
+            eq_h = _eq_table_br_host(p, [x.v for x in r_grand_product])
+            coeff_ints = [c.v for c in coeffs]
+            previous_claim = joint_claim
+            for _ in range(num_rounds):
+                e0i, e2i, e3i = _host_cubic_evals(p, ll, rr, eq_h,
+                                                  coeff_ints)
+                e0, e2, e3 = (FElt(v, spec) for v in (e0i, e2i, e3i))
+                round_poly = UniPoly.from_evals(
+                    [e0, previous_claim - e0, e2, e3])
+                cpoly = round_poly.compress()
+                cpoly.append_to_transcript(transcript)
+                r_j = transcript.challenge_scalar()
+                r_sumcheck.append(r_j)
+                ll = _host_bind(p, ll, r_j.v)
+                rr = _host_bind(p, rr, r_j.v)
+                eq_h = _host_bind(p, [eq_h], r_j.v)[0]
+                previous_claim = round_poly.evaluate(r_j)
+                compressed.append(cpoly)
+            left_claims = [FElt(row[0], spec) for row in ll][:n_real]
+            right_claims = [FElt(row[0], spec) for row in rr][:n_real]
+            for lc, rc in zip(left_claims, right_claims):
+                transcript.append_scalar(lc)
+                transcript.append_scalar(rc)
+            r_grand_product = list(reversed(r_sumcheck))
+            r_layer = transcript.challenge_scalar()
+            claims = [lc + r_layer * (rc - lc)
+                      for lc, rc in zip(left_claims, right_claims)]
+            r_grand_product.append(r_layer)
+            layer_proofs.append(BatchedGrandProductLayerProof(
+                SumcheckInstanceProof(compressed), left_claims,
+                right_claims))
+            layer_span.__exit__(None, None, None)
+            continue
+
         coeffs_dev = jnp.stack(
             [fd.scalar_to_device(spec, c.v) for c in coeffs]
             # mesh zero-padding: pad rows get coefficient 0, so every round
@@ -338,10 +507,7 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
 
         eq = eq_evals_device_br(
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
-        num_rounds = len(r_grand_product)
 
-        r_sumcheck: list[FElt] = []
-        compressed: list[CompressedUniPoly] = []
         if num_rounds > 0 and _use_device_fs():
             # device Fiat-Shamir: the whole layer in ONE dispatch, then a
             # host replay of the transcript (also validates the device
@@ -467,6 +633,40 @@ def _toggle_bind(spec: FieldSpec, flags: jnp.ndarray, fingerprints: jnp.ndarray,
     return bb(flags), bb(fingerprints), bb(eq)
 
 
+def _host_toggle_cubic_evals(p: int, flags: list, fps: list, eq: list,
+                             coeffs: list[int]):
+    """Mirror of _toggle_cubic_evals on host ints: flags[m][s], fps[2m][s],
+    eq[s] -> (e0, e2, e3).  Batch entry b uses flag row b // 2."""
+    h = len(eq) // 2
+    e0 = e2 = e3 = 0
+    for i in range(h):
+        s0 = s2 = s3 = 0
+        for b, c in enumerate(coeffs):
+            f0 = flags[b // 2][i]
+            f1 = flags[b // 2][i + h]
+            mf = f1 - f0
+            p0 = fps[b][i]
+            p1 = fps[b][i + h]
+            mp = p1 - p0
+            g0 = f0 * p0 + 1 - f0
+            fe2 = f1 + mf
+            pe2 = p1 + mp
+            g2 = fe2 * pe2 + 1 - fe2
+            fe3 = fe2 + mf
+            pe3 = pe2 + mp
+            g3 = fe3 * pe3 + 1 - fe3
+            s0 += c * (g0 % p)
+            s2 += c * (g2 % p)
+            s3 += c * (g3 % p)
+        eq1 = eq[i + h]
+        meq = eq1 - eq[i]
+        eqe2 = eq1 + meq
+        e0 += eq[i] * (s0 % p)
+        e2 += eqe2 * (s2 % p)
+        e3 += (eqe2 + meq) * (s3 % p)
+    return e0 % p, e2 % p, e3 % p
+
+
 class ToggledBatchedGrandProduct:
     """Flag-gated grand product: bottom layer computes flag*fp + 1 - flag.
 
@@ -513,12 +713,21 @@ class ToggledBatchedGrandProduct:
         r_sumcheck: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
         num_rounds = len(r_grand_product)
-        if num_rounds > 0 and _use_device_fs():
+        # device rounds while the hypercube axis is above the host-tail
+        # threshold; the tiny tail rounds run as host bigints (identical
+        # transcript, no per-shape XLA programs — see module comment)
+        size = flags.shape[-1]
+        tail = _tail_threshold()
+        dev_rounds = 0
+        while dev_rounds < num_rounds and (size >> dev_rounds) > tail:
+            dev_rounds += 1
+        previous_claim = joint_claim
+        if dev_rounds > 0 and _use_device_fs():
             from . import fs_device as fsd
             state_dev, nr_dev = fsd.state_to_device(transcript)
             prev_dev = fd.scalar_to_device(spec, joint_claim.v)
             comps = []
-            for _ in range(num_rounds):
+            for _ in range(dev_rounds):
                 comp, flags, fps, eq, prev_dev, state_dev, nr_dev = \
                     _toggle_round_fs_jit(spec)(flags, fps, eq, coeffs_dev,
                                                prev_dev, state_dev, nr_dev)
@@ -526,9 +735,10 @@ class ToggledBatchedGrandProduct:
             comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
             compressed, r_sumcheck = fsd.replay_and_check(
                 spec, comp_ints, transcript, state_dev, CompressedUniPoly)
+            for cpoly, r_j in zip(compressed, r_sumcheck):
+                previous_claim = cpoly.eval_from_hint(previous_claim, r_j)
         else:
-            previous_claim = joint_claim
-            for _ in range(num_rounds):
+            for _ in range(dev_rounds):
                 e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
                 ints = fd.device_to_ints(spec, e023).tolist()
                 e0, e2, e3 = (FElt(int(v), spec) for v in ints)
@@ -543,8 +753,35 @@ class ToggledBatchedGrandProduct:
                 previous_claim = round_poly.evaluate(r_j)
                 compressed.append(cpoly)
 
-        flag_vals = fd.device_to_ints(spec, flags[..., 0]).tolist()
-        fp_vals = fd.device_to_ints(spec, fps[..., 0]).tolist()
+        if dev_rounds < num_rounds:
+            # host tail: pull once, finish the layer in bigint arithmetic
+            p = spec.p
+            flags_h = [[int(x) for x in row] for row in
+                       fd.device_to_ints(spec, flags).tolist()]
+            fps_h = [[int(x) for x in row] for row in
+                     fd.device_to_ints(spec, fps).tolist()]
+            eq_h = [int(x) for x in fd.device_to_ints(spec, eq).tolist()]
+            coeff_ints = [c.v for c in coeffs]
+            for _ in range(num_rounds - dev_rounds):
+                e0i, e2i, e3i = _host_toggle_cubic_evals(
+                    p, flags_h, fps_h, eq_h, coeff_ints)
+                e0, e2, e3 = (FElt(v, spec) for v in (e0i, e2i, e3i))
+                round_poly = UniPoly.from_evals(
+                    [e0, previous_claim - e0, e2, e3])
+                cpoly = round_poly.compress()
+                cpoly.append_to_transcript(transcript)
+                r_j = transcript.challenge_scalar()
+                r_sumcheck.append(r_j)
+                flags_h = _host_bind(p, flags_h, r_j.v)
+                fps_h = _host_bind(p, fps_h, r_j.v)
+                eq_h = _host_bind(p, [eq_h], r_j.v)[0]
+                previous_claim = round_poly.evaluate(r_j)
+                compressed.append(cpoly)
+            flag_vals = [row[0] for row in flags_h]
+            fp_vals = [row[0] for row in fps_h]
+        else:
+            flag_vals = fd.device_to_ints(spec, flags[..., 0]).tolist()
+            fp_vals = fd.device_to_ints(spec, fps[..., 0]).tolist()
         left_claims = [FElt(int(flag_vals[b // 2]), spec)
                        for b in range(len(fp_vals))]
         right_claims = [FElt(int(v), spec) for v in fp_vals]

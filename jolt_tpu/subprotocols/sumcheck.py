@@ -121,7 +121,9 @@ def prove_arbitrary(num_rounds: int,
             return SumcheckInstanceProof(compressed), r, final_evals
         r: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
+        tail_dev, moved = _tail_device(), False
         for _ in range(num_rounds):
+            polys, moved = _maybe_tail(polys, tail_dev, moved)
             evals_dev = _round_evals(spec, comb_func, degree, polys)
             evals = _device_scalars_to_felts(spec, evals_dev)
             round_poly = UniPoly.from_evals(evals)
@@ -129,7 +131,10 @@ def prove_arbitrary(num_rounds: int,
             cpoly.append_to_transcript(transcript)
             r_j = transcript.challenge_scalar()
             r.append(r_j)
-            polys = _bind_all(spec, polys, fd.scalar_to_device(spec, r_j.v))
+            rv = fd.scalar_to_device(spec, r_j.v)
+            if moved:
+                rv = jax.device_put(rv, tail_dev)
+            polys = _bind_all(spec, polys, rv)
             compressed.append(cpoly)
         final_evals = [
             FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys
@@ -184,7 +189,9 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
     r: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
     previous_claim = claim
+    tail_dev, moved = _tail_device(), False
     for _ in range(num_rounds):
+        polys, moved = _maybe_tail(polys, tail_dev, moved)
         evals_dev = _round_evals_bot(spec, comb_func, degree, polys)
         evals = _device_scalars_to_felts(spec, evals_dev)
         if previous_claim is not None:
@@ -194,7 +201,10 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
         cpoly.append_to_transcript(transcript)
         r_j = transcript.challenge_scalar()
         r.append(r_j)
-        polys = _bind_all_bot(spec, polys, fd.scalar_to_device(spec, r_j.v))
+        rv = fd.scalar_to_device(spec, r_j.v)
+        if moved:
+            rv = jax.device_put(rv, tail_dev)
+        polys = _bind_all_bot(spec, polys, rv)
         if previous_claim is not None:
             previous_claim = round_poly.evaluate(r_j)
         compressed.append(cpoly)
@@ -235,24 +245,91 @@ def _use_device_fs() -> bool:
     return f()
 
 
+def _tail_device():
+    """Local CPU jax device for tail rounds, or None.
+
+    Below the host-tail threshold (grand_product._tail_threshold) sumcheck
+    rounds move to the in-process CPU backend: each halving shape still
+    compiles, but CPU compiles of tiny programs are ~100x cheaper than
+    TPU/Mosaic ones on this 1-core host and dispatches skip the tunnel.
+    The arithmetic is exact integer XLA either way — transcripts are
+    bit-identical (JOLT_TPU_HOST_TAIL=0 disables)."""
+    from .grand_product import _tail_threshold
+    if _tail_threshold() == 0:
+        return None
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        return None
+    # pointless indirection if CPU is already the default backend
+    if jax.default_backend() == "cpu":
+        return None
+    return cpu
+
+
+def _maybe_tail(polys, tail_dev, moved: bool):
+    """Move polys to the CPU backend once they shrink below the tail."""
+    if moved or tail_dev is None or not polys:
+        return polys, moved
+    from .grand_product import _tail_threshold
+    if polys[0].shape[-1] <= _tail_threshold():
+        return tuple(jax.device_put(p, tail_dev) for p in polys), True
+    return polys, moved
+
+
 def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
                          spec, bot: bool, claim):
-    """Shared device-FS driver: enqueue all rounds without a host sync,
-    pull compressed polys once, replay the host transcript."""
+    """Shared device-FS driver: enqueue rounds without a host sync, pull
+    compressed polys once, replay the host transcript.  Rounds past the
+    tail threshold run on the local CPU backend with host Fiat-Shamir."""
     from . import fs_device as fsd
-    state_dev, nr_dev = fsd.state_to_device(transcript)
+    from .grand_product import _tail_threshold
+    n = polys[0].shape[-1]
+    tail, tail_dev = _tail_threshold(), _tail_device()
+    dev_rounds = num_rounds
+    if tail_dev is not None:
+        dev_rounds = 0
+        while dev_rounds < num_rounds and (n >> dev_rounds) > tail:
+            dev_rounds += 1
     use_hint = claim is not None
-    prev_dev = fd.scalar_to_device(spec, claim.v) if use_hint \
-        else fd.zeros(spec, ())
-    comps = []
-    for _ in range(num_rounds):
-        comp, polys, prev_dev, state_dev, nr_dev = _sc_round_fs_jit(
-            spec, comb_func, degree, bot, use_hint, polys, prev_dev,
-            state_dev, nr_dev)
-        comps.append(comp)
-    comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
-    compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
-                                         state_dev, CompressedUniPoly)
+    compressed: list[CompressedUniPoly] = []
+    r: list[FElt] = []
+    if dev_rounds > 0:
+        state_dev, nr_dev = fsd.state_to_device(transcript)
+        prev_dev = fd.scalar_to_device(spec, claim.v) if use_hint \
+            else fd.zeros(spec, ())
+        comps = []
+        for _ in range(dev_rounds):
+            comp, polys, prev_dev, state_dev, nr_dev = _sc_round_fs_jit(
+                spec, comb_func, degree, bot, use_hint, polys, prev_dev,
+                state_dev, nr_dev)
+            comps.append(comp)
+        comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
+        compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
+                                             state_dev, CompressedUniPoly)
+    if dev_rounds < num_rounds:
+        previous_claim = claim
+        if use_hint:
+            for cpoly, rj in zip(compressed, r):
+                previous_claim = cpoly.eval_from_hint(previous_claim, rj)
+        polys = tuple(jax.device_put(p, tail_dev) for p in polys)
+        ev_fn = _round_evals_bot if bot else _round_evals
+        bind = _bind_all_bot if bot else _bind_all
+        for _ in range(num_rounds - dev_rounds):
+            evals = _device_scalars_to_felts(
+                spec, ev_fn(spec, comb_func, degree, polys))
+            if use_hint:
+                evals[1] = previous_claim - evals[0]
+            round_poly = UniPoly.from_evals(evals)
+            cpoly = round_poly.compress()
+            cpoly.append_to_transcript(transcript)
+            r_j = transcript.challenge_scalar()
+            r.append(r_j)
+            rv = jax.device_put(fd.scalar_to_device(spec, r_j.v), tail_dev)
+            polys = bind(spec, polys, rv)
+            if use_hint:
+                previous_claim = round_poly.evaluate(r_j)
+            compressed.append(cpoly)
     return compressed, r, polys
 
 

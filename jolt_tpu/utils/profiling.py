@@ -63,11 +63,18 @@ def span(name: str, ops: int = 0):
     if not _enabled:
         yield
         return
+    import os
+    import sys
     import jax
+    live = os.environ.get("JOLT_SPAN_LOG", "") not in ("", "0")
+    if live:
+        print(f"[span] > {name}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     with jax.named_scope(name):
         yield
     dt = time.perf_counter() - t0
+    if live:
+        print(f"[span] < {name} {dt:.2f}s", file=sys.stderr, flush=True)
     with _lock:
         _totals[name] += dt
         _counts[name] += 1

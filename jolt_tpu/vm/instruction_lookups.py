@@ -367,14 +367,25 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     f_b, e_b = polys.instruction_flags, polys.E_polys
     r_primary: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
-    from ..subprotocols.grand_product import _use_device_fs
-    if num_rounds > 0 and _use_device_fs():
-        # device Fiat-Shamir: all primary-sumcheck rounds enqueue without
+    from ..subprotocols.grand_product import (_tail_threshold,
+                                              _use_device_fs)
+    from ..subprotocols.sumcheck import _tail_device
+    # device rounds while the hypercube is above the tail threshold; the
+    # tiny tail rounds move to the in-process CPU backend (cheap compiles,
+    # no tunnel dispatch; exact integer XLA — transcript-identical)
+    tail, tail_dev = _tail_threshold(), _tail_device()
+    dev_rounds = num_rounds
+    if tail_dev is not None:
+        dev_rounds = 0
+        while dev_rounds < num_rounds and (T >> dev_rounds) > tail:
+            dev_rounds += 1
+    if dev_rounds > 0 and _use_device_fs():
+        # device Fiat-Shamir: primary-sumcheck rounds enqueue without
         # a host sync; one pull + host transcript replay at the end
         from ..subprotocols import fs_device as fsd
         state_dev, nr_dev = fsd.state_to_device(transcript)
         comps = []
-        for _ in range(num_rounds):
+        for _ in range(dev_rounds):
             comp, eq_b, out_b, f_b, e_b, state_dev, nr_dev = \
                 _il_round_fs_jit(spec, meta, degree)(
                     eq_b, out_b, f_b, e_b, state_dev, nr_dev)
@@ -382,8 +393,18 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
         comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
         compressed, r_primary = fsd.replay_and_check(
             spec, comp_ints, transcript, state_dev, CompressedUniPoly)
+        dev_fs_done = dev_rounds
     else:
-        for _ in range(num_rounds):
+        dev_fs_done = 0
+    if dev_fs_done < num_rounds:
+        moved = False
+        for j in range(num_rounds - dev_fs_done):
+            if not moved and tail_dev is not None and \
+                    eq_b.shape[-1] <= tail:
+                eq_b, out_b, f_b, e_b = (
+                    jax.device_put(t, tail_dev)
+                    for t in (eq_b, out_b, f_b, e_b))
+                moved = True
             evals_dev = _primary_round_evals(spec, meta, degree, eq_b, out_b,
                                              f_b, e_b)
             evals = [FElt(int(v), spec)
@@ -393,8 +414,11 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
             cpoly.append_to_transcript(transcript)
             r_j = transcript.challenge_scalar()
             r_primary.append(r_j)
+            rv = fd.scalar_to_device(spec, r_j.v)
+            if moved:
+                rv = jax.device_put(rv, tail_dev)
             eq_b, out_b, f_b, e_b = _primary_bind(
-                spec, eq_b, out_b, f_b, e_b, fd.scalar_to_device(spec, r_j.v))
+                spec, eq_b, out_b, f_b, e_b, rv)
             compressed.append(cpoly)
 
     flag_evals = [FElt(int(v), spec) for v in

@@ -209,7 +209,7 @@ def test_sumcheck_verifier_accepts_and_rejects(vm, spec):
 
 def _fix(name):
     path = os.path.join(FIXDIR, "evm", f"{name}.json")
-    if not os.path.exists(path):
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
         pytest.skip(f"fixture {path} not generated")
     with open(path) as f:
         return json.load(f)
