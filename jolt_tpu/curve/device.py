@@ -389,14 +389,21 @@ def _horner_bits(sums: list[G1Jacobian]) -> G1Jacobian:
 
 
 @jax.jit
+def _poly_limb_maxes(canon):
+    return jnp.max(canon, axis=-1)
+
+
 def _stack_canonical(stacked_mont):
     """[L, J, n] Montgomery -> canonical limbs + per-poly limb maxes.
 
-    ONE compiled pass + ONE tiny [L, J] host pull replaces the per-poly
-    from_mont/scalar_max_bits loop that dominated the batch commit
-    (observed ~0.3-0.5 s of eager dispatch + sync PER polynomial)."""
+    Deliberately NOT one jit: from_mont_device REDCs huge tensors in
+    fixed [L, 2^16] chunks that all reuse ONE compiled program — wrapping
+    this in jax.jit inlined the chunk loop into a single giant XLA
+    program whose per-process executable LOAD through the tunnel cost
+    ~200 s (compile cache can't help with loads).  Eagerly, the chunk
+    program uploads once and the ~30 dispatches pipeline."""
     canon = fd.from_mont_device(FR, stacked_mont)
-    return canon, jnp.max(canon, axis=-1)
+    return canon, _poly_limb_maxes(canon)
 
 
 @jax.jit

@@ -129,6 +129,10 @@ class SystemBus:
 
     # -- translation-state updates (clear caches like mmu.rs:194-226) --------
     def update_addressing_mode(self, mode: str | None) -> None:
+        if mode == "sv48":
+            # stub parity: the reference panics "SV48 is not supported
+            # yet" (mmu.rs:70, 843-845)
+            raise NotImplementedError("AddressingMode SV48 is not supported")
         assert mode in (None, "sv32", "sv39"), f"unsupported mode {mode}"
         self.addressing_mode = mode
         self._clear_page_cache()

@@ -22,11 +22,20 @@ for i in $(seq 1 "$ATTEMPTS"); do
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
     now=$(date +%s)
-    mt=$(stat -c %Y "$ERR" 2>/dev/null || echo "$now")
+    # progress = either output file moved OR the compile cache grew
+    mt1=$(stat -c %Y "$ERR" 2>/dev/null || echo 0)
+    mt2=$(stat -c %Y "$OUT" 2>/dev/null || echo 0)
+    mt3=$(stat -c %Y .cache/jit 2>/dev/null || echo 0)
+    mt=$(printf '%s\n' "$mt1" "$mt2" "$mt3" | sort -n | tail -1)
     if [ $((now - mt)) -gt "$STALL" ]; then
-      echo "[warm] stalled $((now - mt))s; killing $pid" >&2
+      echo "[warm] stalled $((now - mt))s; terminating $pid" >&2
+      kill -TERM "$pid" 2>/dev/null   # bench has a SIGTERM handler
+      sleep 20
       kill -9 "$pid" 2>/dev/null
-      sleep 3
+      # The remote reaps a dead client's session ~15-20 min later and the
+      # reap wedges whatever client is active at that moment (observed
+      # repeatedly) — wait out the reap BEFORE the next attempt.
+      sleep "${JOLT_WARM_DRAIN:-1500}"
       break
     fi
   done
