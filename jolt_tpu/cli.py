@@ -260,28 +260,61 @@ def cmd_prove_guest(args):
 
 
 def cmd_surge_bench(args):
-    """The fork's headline benchmark (bench.rs:109-210): Surge XOR lookups."""
+    """The fork's headline benchmark (bench.rs:109-210): Surge XOR lookups.
+
+    Mirrors the reference's methodology: a REAL HyperKZG setup (sized for
+    the largest nv), nv sweep, `--prover-runs` averaged prover times
+    (default 10, bench.rs:155-163), ark-compressed proof size print
+    (bench.rs:101-108, 166-168), and `--verifier-runs` averaged verifier
+    times (default 50, bench.rs:170-177).  `--pcs mock` restores the old
+    quick mode."""
     _init_jax(args.platform)
     import numpy as np
     from .commitment import MockCommitmentScheme
+    from .commitment.hyperkzg import HyperKZG
     from .field import fr_spec
     from .instructions import XorInstruction
     from .lasso import SurgePreprocessing, surge_prove, surge_verify
+    from .utils.ark_proof import serialize_surge_proof
 
     spec = fr_spec()
-    pre = SurgePreprocessing(XorInstruction, 4, 1 << 16, spec)
-    pcs = MockCommitmentScheme(spec)
+    nv_list = list(range(args.nv, args.nv_hi + 1)) if args.nv_hi else \
+        [args.nv]
+    C, M = 4, 1 << 16
+    pre = SurgePreprocessing(XorInstruction, C, M, spec)
+    if getattr(args, "pcs", "hyperkzg") == "mock":
+        pcs = MockCommitmentScheme(spec)
+    else:
+        pcs = HyperKZG.setup(max(1 << max(nv_list), M))
     rng = np.random.default_rng(0)
-    n = 1 << args.nv
-    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
-    y = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
-    t0 = time.time()
-    proof, pt, _ = surge_prove(pre, pcs, x, y)
-    dt = time.time() - t0
-    print(json.dumps({"surge_xor_nv": args.nv, "prove_seconds": round(dt, 3)}))
-    t0 = time.time()
-    surge_verify(pre, pcs, proof, debug_transcript=pt)
-    print(f"verify: {time.time() - t0:.3f}s")
+    for nv in nv_list:
+        n = 1 << nv
+        x = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+        y = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+        total = 0.0
+        proof = pt = None
+        for _ in range(max(1, args.prover_runs)):
+            t0 = time.time()
+            proof, pt, _ = surge_prove(pre, pcs, x, y)
+            total += time.time() - t0
+        prove_avg = total / max(1, args.prover_runs)
+        try:
+            proof_bytes = len(serialize_surge_proof(proof,
+                                                    pre.num_memories))
+        except Exception:   # Mock commitments aren't G1 points
+            proof_bytes = None
+        t0 = time.time()
+        for _ in range(max(1, args.verifier_runs)):
+            surge_verify(pre, pcs, proof, debug_transcript=pt)
+        verify_avg = (time.time() - t0) / max(1, args.verifier_runs)
+        print(json.dumps({
+            "surge_xor_nv": nv,
+            "prover_runs": args.prover_runs,
+            "prove_seconds_avg": round(prove_avg, 4),
+            "proof_size_bytes": proof_bytes,
+            "verifier_runs": args.verifier_runs,
+            "verify_seconds_avg": round(verify_avg, 4),
+        }))
 
 
 def cmd_gp_bench(args):
@@ -393,6 +426,11 @@ def main():
     f.set_defaults(fn=cmd_prove_fib)
     s = sub.add_parser("surge-bench")
     s.add_argument("--nv", type=int, default=10)
+    s.add_argument("--nv-hi", type=int, default=0,
+                   help="sweep nv..nv-hi (bench.rs:126 sweeps 20..=24)")
+    s.add_argument("--pcs", default="hyperkzg", choices=["mock", "hyperkzg"])
+    s.add_argument("--prover-runs", type=int, default=10)
+    s.add_argument("--verifier-runs", type=int, default=50)
     s.set_defaults(fn=cmd_surge_bench)
     g = sub.add_parser("gp-bench")
     g.add_argument("--logn", type=int, default=14)

@@ -96,15 +96,18 @@ class HyperKZG:
         return HyperKZGCommitment(kzg_commit(self.pk, poly))
 
     def batch_commit(self, polys: Sequence[jnp.ndarray],
-                     batch_type: BatchType = BatchType.BIG
+                     batch_type: BatchType = BatchType.BIG, mesh=None
                      ) -> list[HyperKZGCommitment]:
         """GrandProduct batches take the mostly-ones shortcut [FORK]
-        (hyperkzg.rs:554-566 -> kzg.rs:223-256); same commitment bytes."""
+        (hyperkzg.rs:554-566 -> kzg.rs:223-256); same commitment bytes.
+        With `mesh`, the MSM point axis is sharded across the chips
+        (each owns an SRS slice; per-bit-plane partial sums reduce
+        cross-chip — the pjit analog of msm/mod.rs:87-109's rayon)."""
         if batch_type == BatchType.GRAND_PRODUCT:
             return [HyperKZGCommitment(kzg_commit_grand_product(self.pk, p))
                     for p in polys]
         return [HyperKZGCommitment(p)
-                for p in kzg_commit_batch(self.pk, list(polys))]
+                for p in kzg_commit_batch(self.pk, list(polys), mesh=mesh)]
 
     def combine_commitments(self, commitments: Sequence[HyperKZGCommitment],
                             coeffs: Sequence[FElt]) -> HyperKZGCommitment:
@@ -120,10 +123,22 @@ class HyperKZG:
         ell = len(point)
         assert poly.shape[-1] == 1 << ell
 
+        # Folds below FOLD_BUCKET are kept zero-padded AT the bucket size:
+        # bind_bot of a zero-padded vector is the bound vector zero-padded
+        # (pairs of zeros bind to zero), and zero coefficients change
+        # neither KZG commitments nor evaluations — so every fold round
+        # reuses ONE (bind, pad) pair of compiled programs instead of one
+        # program per halving shape (the per-process executable loads
+        # through the TPU tunnel are the dominant e2e cost, docs/PERF.md).
+        FOLD_BUCKET = 4096
+        cur = poly
         polys = [poly]
         for i in range(ell - 1):
             r_fold = fd.scalar_to_device(spec, point[ell - i - 1].v)
-            polys.append(bind_bot(spec, polys[i], r_fold))
+            cur = bind_bot(spec, cur, r_fold)
+            if cur.shape[-1] < min(FOLD_BUCKET, poly.shape[-1]):
+                cur = jnp.pad(cur, ((0, 0), (0, cur.shape[-1])))
+            polys.append(cur)
 
         com = kzg_commit_batch(self.pk, polys[1:])
         transcript.append_points(com)

@@ -213,11 +213,12 @@ def kzg_commit(pk: KZGProverKey, coeffs_mont: jnp.ndarray) -> G1Affine:
     return cd.msm_bitplane(pk.g1_jac, coeffs_mont, FR)
 
 
-def kzg_commit_batch(pk: KZGProverKey, polys: list) -> list[G1Affine]:
+def kzg_commit_batch(pk: KZGProverKey, polys: list,
+                     mesh=None) -> list[G1Affine]:
     """Batch commit: all polynomials' scalar bit-planes share one kernel
     stream over the same SRS bases (the ~90-column witness commit,
     vm/mod.rs:393, is the reference prover's #1 cost)."""
-    return cd.batch_msm_bitplane(pk.g1_jac, list(polys), FR)
+    return cd.batch_msm_bitplane(pk.g1_jac, list(polys), FR, mesh=mesh)
 
 
 @partial(jax.jit, static_argnums=())

@@ -41,8 +41,8 @@ class MockCommitmentScheme:
         ints = fd.device_to_ints(self.spec, poly)
         return MockCommitment([FElt(int(v), self.spec) for v in ints.tolist()])
 
-    def batch_commit(self, polys: Sequence[jnp.ndarray], batch_type=None
-                     ) -> list[MockCommitment]:
+    def batch_commit(self, polys: Sequence[jnp.ndarray], batch_type=None,
+                     mesh=None) -> list[MockCommitment]:
         return [self.commit(p) for p in polys]
 
     def prove(self, poly: jnp.ndarray, opening_point: Sequence[FElt],

@@ -342,30 +342,77 @@ MSM_SEGMENT = 1 << 16  # points per tree-sum dispatch (bounds the [L, K, N]
 #                        broadcast: at N = 2^21, K = 64 it would be ~25 GB)
 
 
-def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
-    """Masked tree sum per channel -> HOST Jacobians [K].
+# canonical scan-fold geometry: every dispatch processes MSM_FOLD_SEG
+# points as MSM_FOLD_SEG/MSM_FOLD_TAIL sequential jac_adds of a fixed
+# [L, K, MSM_FOLD_TAIL] accumulator inside ONE lax.scan — a single small
+# program (one Mosaic point-kernel geometry) serves every chunk of every
+# commit, instead of one unrolled log-depth tree program per (K, n) whose
+# fresh Mosaic compiles cost minutes through the tunnel (docs/PERF.md)
+MSM_FOLD_SEG = 4096
+MSM_FOLD_TAIL = 32
 
-    Device tree reduces each segment to `tail` partials per channel
-    (fewer Mosaic kernel shapes in the program — see _msm_host_tail),
-    the host folds the partials (~K*tail bigint adds, milliseconds)."""
+
+@jax.jit
+def _msm_fold_seg(px, py, pz, masks, acc, off):
+    """Fold points [off, off+SEG) of every channel into acc.
+
+    px/py/pz: [L, N] Jacobian; masks: [K, N] bool; acc: ([L, K, TAIL],)*3;
+    off: traced int32.  Returns the updated acc."""
+    K = masks.shape[0]
+    Lq = px.shape[0]
+    T = MSM_FOLD_TAIL
+    S = MSM_FOLD_SEG // T
+    sl = tuple(jax.lax.dynamic_slice_in_dim(t, off, MSM_FOLD_SEG, axis=-1)
+               for t in (px, py, pz))
+    m = jax.lax.dynamic_slice_in_dim(masks, off, MSM_FOLD_SEG, axis=-1)
+    steps = tuple(jnp.moveaxis(t.reshape(Lq, S, T), 1, 0) for t in sl)
+    msteps = jnp.moveaxis(m.reshape(K, S, T), 1, 0)        # [S, K, T]
+
+    def body(carry, inp):
+        sx, sy, sz, mk = inp                               # [L, T], [K, T]
+        X = jnp.broadcast_to(sx[:, None, :], (Lq, K, T))
+        Y = jnp.broadcast_to(sy[:, None, :], (Lq, K, T))
+        Z = jnp.where(mk[None], jnp.broadcast_to(sz[:, None, :], X.shape),
+                      jnp.uint32(0))
+        return jac_add(carry, (X, Y, Z)), None
+
+    acc, _ = jax.lax.scan(body, acc, steps + (msteps,))
+    return acc
+
+
+def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
+    """Masked sum per channel -> HOST Jacobians [K].
+
+    N >= MSM_FOLD_SEG (guaranteed by the bucketing in batch_msm_bitplane):
+    the canonical scan-fold reduces each channel to MSM_FOLD_TAIL partials;
+    the host folds them (~K*TAIL bigint adds).  Small N falls back to the
+    unrolled tree (tiny compiles)."""
     K, N = masks.shape
-    tail = max(1, min(_msm_host_tail(), N))
-    acc = [G1Jacobian.identity() for _ in range(K)]
-    for off in range(0, N, MSM_SEGMENT):
-        sl = tuple(t[..., off:off + MSM_SEGMENT] for t in (px, py, pz))
-        ms = masks[:, off:off + MSM_SEGMENT]
-        if ms.shape[1] < MSM_SEGMENT and N > MSM_SEGMENT:
-            w = MSM_SEGMENT - ms.shape[1]  # Z=0 padding = group identity
-            sl = tuple(jnp.pad(t, ((0, 0), (0, w))) for t in sl)
-            ms = jnp.pad(ms, ((0, 0), (0, w)))
-        sx, sy, sz = _masked_tree_sum_jit(*sl, ms, tail)
-        parts = jacobian_to_host(sx, sy, sz)   # K*tail, channel-major
+    if N < MSM_FOLD_SEG or N % MSM_FOLD_SEG:
+        tail = max(1, min(_msm_host_tail(), N))
+        sx, sy, sz = _masked_tree_sum_jit(px, py, pz, masks, tail)
+        parts = jacobian_to_host(sx, sy, sz)
+        acc = [G1Jacobian.identity() for _ in range(K)]
         for k in range(K):
             a = acc[k]
             for p in parts[k * tail: (k + 1) * tail]:
                 a = a.add(p)
             acc[k] = a
-    return acc
+        return acc
+    T = MSM_FOLD_TAIL
+    zero = jnp.zeros((px.shape[0], K, T), jnp.uint32)
+    acc = (zero, zero, zero)                 # Z = 0: the group identity
+    for off in range(0, N, MSM_FOLD_SEG):
+        acc = _msm_fold_seg(px, py, pz, masks, acc, np.int32(off))
+    sx, sy, sz = acc
+    parts = jacobian_to_host(sx, sy, sz)     # K*T, channel-major
+    out = []
+    for k in range(K):
+        a = G1Jacobian.identity()
+        for p in parts[k * T: (k + 1) * T]:
+            a = a.add(p)
+        out.append(a)
+    return out
 
 
 def scalar_max_bits(canonical_limbs: jnp.ndarray) -> int:
@@ -416,8 +463,8 @@ def _bitplane_masks(canon, limb_idx, poly_idx, shifts, valid):
     return bits.astype(bool) & valid[:, None]
 
 
-def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
-                       ) -> list[G1Affine]:
+def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec,
+                       mesh=None) -> list[G1Affine]:
     """MSMs of many scalar vectors over one base set (batch commit).
 
     points_jac: (X [L, N], Y [L, N], Z [L, N]) Montgomery Jacobian
@@ -445,16 +492,42 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
             _tl = now
 
     px, py, pz_full = points_jac
+    n_pts = px.shape[-1]
 
-    # group polys by length so channels in a dispatch share N
+    # group polys by BUCKETED length: scalar vectors are zero-padded up to
+    # a power of two (>= 4096) so the expensive masked-tree program is
+    # compiled/loaded for only a handful of (K, n) shapes per process
+    # instead of one per poly length (zero scalars set no bit-plane masks
+    # and no channels, so commitments are unchanged)
+    def _bucket(n: int) -> int:
+        b = 1 << max(12, (n - 1).bit_length())
+        return min(b, n_pts) if n_pts >= n else n
+
     by_len: dict[int, list[int]] = {}
     for j, s in enumerate(scalars_mont):
-        by_len.setdefault(s.shape[-1], []).append(j)
+        by_len.setdefault(_bucket(s.shape[-1]), []).append(j)
+
+    def _shard_pts(ts):
+        """Point-axis mesh sharding (SURVEY §2.8: each chip owns an SRS
+        slice; XLA reduces the per-channel partials cross-chip)."""
+        if mesh is None:
+            return ts
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax = mesh.axis_names[0]
+        return tuple(
+            jax.device_put(t, NamedSharding(
+                mesh, P(*([None] * (t.ndim - 1) + [ax]))))
+            if t.shape[-1] % mesh.devices.size == 0 else t for t in ts)
 
     results: dict[int, G1Affine] = {}
     for n, idxs in by_len.items():
-        pxn, pyn, pzn = px[..., :n], py[..., :n], pz_full[..., :n]
-        stacked = jnp.stack([scalars_mont[j] for j in idxs], axis=1)
+        pxn, pyn, pzn = _shard_pts((px[..., :n], py[..., :n],
+                                    pz_full[..., :n]))
+        stacked = jnp.stack(
+            [scalars_mont[j] if scalars_mont[j].shape[-1] == n
+             else jnp.pad(scalars_mont[j],
+                          ((0, 0), (0, n - scalars_mont[j].shape[-1])))
+             for j in idxs], axis=1)
         canon, maxes = _stack_canonical(stacked)           # [L, J, n], [L, J]
         limb_max = np.asarray(jax.device_get(maxes))       # ONE tiny pull
         _mark(f"n={n} J={len(idxs)} stack+canon")
@@ -477,6 +550,7 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec
             masks = _bitplane_masks(canon, bits // LIMB_BITS, poly_idx,
                                     (bits % LIMB_BITS).astype(np.uint32),
                                     valid)
+            masks = _shard_pts((masks,))[0]
             pts = _masked_tree_sum_hosttail(pxn, pyn, pzn, masks)
             _mark(f"chunk {lo // K} tree+fold")
             for (slot, _b), p in zip(group, pts):

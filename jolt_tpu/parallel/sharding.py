@@ -236,6 +236,19 @@ def sharded_msm_bitplane(mesh: Mesh, points_jac, scalars_mont: jnp.ndarray,
 # hypercube-axis sharding: the 2^k MLE dimension (SURVEY §5, §7.9)
 # ---------------------------------------------------------------------------
 
+def maybe_shard_hypercube(mesh: Mesh | None, arr: jnp.ndarray,
+                          axis: str = "hc") -> jnp.ndarray:
+    """Shard ONE MLE limb tensor [L, ..., n] on its hypercube (last) axis,
+    replicating (loudly) when n doesn't divide across the mesh; identity
+    when mesh is None.  The single-tensor face of shard_sumcheck_polys —
+    used by the mesh-wired full-VM prover (vm/jolt.py prove(mesh=...)),
+    matching the rayon parallelism of the reference's sumcheck loops
+    (e.g. sumcheck.rs par_iter sites) with XLA-propagated collectives."""
+    if mesh is None:
+        return arr
+    return shard_sumcheck_polys(mesh, [arr], axis)[0]
+
+
 def shard_sumcheck_polys(mesh: Mesh, polys, axis: str = "hc"):
     """Place generic-sumcheck MLE limb tensors [L, ..., n] with the
     HYPERCUBE axis n sharded across the mesh.

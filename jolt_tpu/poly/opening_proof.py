@@ -81,6 +81,66 @@ def _reduction_round_fs_jit(spec: FieldSpec, k: int):
     return jax.jit(partial(_reduction_round_fs, spec, k))
 
 
+def _pad_to(t: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero-pad the last axis to n."""
+    if t.shape[-1] == n:
+        return t
+    return jnp.concatenate(
+        [t, jnp.zeros(t.shape[:-1] + (n - t.shape[-1],), dtype=t.dtype)],
+        axis=-1)
+
+
+def _reduction_round_fs_masked(spec: FieldSpec, stack_p, stack_e, coeffs,
+                               amask, inact, prev, state, nr, h):
+    """Stacked masked batch-reduction round (fixed shapes, traced h).
+
+    stack_p/stack_e: [L, P, N]; coeffs: [L, P]; amask: [P] bool (polys
+    active this round); inact: [L] host-constant contribution of inactive
+    claims.  Active polys share active length 2h; inactive rows pass
+    through the bind untouched.  One compiled program per (P, N)."""
+    from ..subprotocols import fs_device as fsd
+    H = stack_p.shape[-1] // 2
+    mask = jnp.arange(H, dtype=jnp.int32) < h
+    zero = jnp.uint32(0)
+
+    p_lo, e_lo = stack_p[..., :H], stack_e[..., :H]
+    p_hi = jax.lax.dynamic_slice_in_dim(stack_p, h, H, axis=-1)
+    e_hi = jax.lax.dynamic_slice_in_dim(stack_e, h, H, axis=-1)
+    s0 = fd.fsum(spec, jnp.where(mask, fd.fmul(spec, p_lo, e_lo), zero),
+                 axis=-1)                                   # [L, P]
+    p2 = fd.fadd(spec, p_hi, fd.fsub(spec, p_hi, p_lo))
+    e2 = fd.fadd(spec, e_hi, fd.fsub(spec, e_hi, e_lo))
+    s2 = fd.fsum(spec, jnp.where(mask, fd.fmul(spec, p2, e2), zero),
+                 axis=-1)
+    cs0 = jnp.where(amask, fd.fmul(spec, coeffs, s0), zero)
+    cs2 = jnp.where(amask, fd.fmul(spec, coeffs, s2), zero)
+    ev0 = fd.fadd(spec, inact, fd.fsum(spec, cs0, axis=-1))
+    ev2 = fd.fadd(spec, inact, fd.fsum(spec, cs2, axis=-1))
+
+    e1 = fd.fsub(spec, prev, ev0)
+    coeffs3 = fsd.interpolate(spec, [ev0, e1, ev2])
+    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs3, state, nr)
+    prev = fsd.horner(spec, coeffs3, rj)
+
+    rb = jnp.broadcast_to(rj.reshape((fd.L, 1, 1)), p_lo.shape)
+    bp = fd.fadd(spec, p_lo, fd.fmul(spec, rb, fd.fsub(spec, p_hi, p_lo)))
+    be = fd.fadd(spec, e_lo, fd.fmul(spec, rb, fd.fsub(spec, e_hi, e_lo)))
+    # active rows: bound prefix (< h) + zeros; inactive rows: untouched
+    arow = amask[None, :, None]
+    new_p = jnp.where(arow, jnp.where(mask, bp, zero), p_lo)
+    new_e = jnp.where(arow, jnp.where(mask, be, zero), e_lo)
+    top_p = jnp.where(amask[None, :, None], zero, stack_p[..., H:])
+    top_e = jnp.where(amask[None, :, None], zero, stack_e[..., H:])
+    stack_p = jnp.concatenate([new_p, top_p], axis=-1)
+    stack_e = jnp.concatenate([new_e, top_e], axis=-1)
+    return comp, stack_p, stack_e, prev, state, nr
+
+
+@_functools.lru_cache(maxsize=None)
+def _reduction_round_fs_m_jit(spec: FieldSpec):
+    return jax.jit(partial(_reduction_round_fs_masked, spec))
+
+
 def _quadratic_evals(spec: FieldSpec, poly: jnp.ndarray, eq: jnp.ndarray
                      ) -> jnp.ndarray:
     """(eval_0, eval_2) of sum_x P(t,x)*eq(t,x) -> [L, 2]."""
@@ -200,41 +260,125 @@ class ProverOpeningAccumulator:
         folded in as device scalars.  Byte-identical transcript."""
         spec = self.spec
         from ..subprotocols import fs_device as fsd
-        coeffs_dev = [fd.scalar_to_device(spec, c.v) for c in coeffs]
-        state_dev, nr_dev = fsd.state_to_device(transcript)
-        prev_dev = fd.scalar_to_device(spec, e.v)
-        bound = [o.polynomial for o in self.openings]
-        bound_eq = [o.eq_poly for o in self.openings]
-        comps = []
-        for rnd in range(max_num_vars):
-            remaining = max_num_vars - rnd
-            active = tuple(i for i, o in enumerate(self.openings)
-                           if remaining <= len(o.opening_point))
-            inact = FElt(0, spec)
+        from ..subprotocols.grand_product import (_host_bind,
+                                                  _tail_threshold)
+        # device rounds while the active polynomials are above the
+        # host-tail threshold; the remaining rounds run as host bigints
+        # (identical transcript bytes, no per-shape XLA programs for the
+        # long tail of tiny shapes)
+        tail = 0 if getattr(self, "_mesh", None) is not None \
+            else _tail_threshold()
+        dev_rounds = max_num_vars
+        if tail:
+            dev_rounds = 0
+            while dev_rounds < max_num_vars and \
+                    (1 << (max_num_vars - dev_rounds)) > tail:
+                dev_rounds += 1
+        import numpy as np
+        compressed: list[CompressedUniPoly] = []
+        r: list[FElt] = []
+        previous_claim = e
+        # ONE stacked [L, P, N] tensor for the polys (and one for the eqs):
+        # the masked round kernel below is compiled once per (P, N) — every
+        # round reuses it with a traced active length h and per-poly
+        # active mask, instead of one XLA program per (round, active-set)
+        # shape combination (the 33 MB jit__unknown monsters of docs/PERF.md)
+        N = 1 << max_num_vars
+        stack_p = jnp.stack([_pad_to(o.polynomial, N)
+                             for o in self.openings], axis=1)
+        stack_e = jnp.stack([_pad_to(o.eq_poly, N)
+                             for o in self.openings], axis=1)
+        coeffs_mat = jnp.stack([fd.scalar_to_device(spec, c.v)
+                                for c in coeffs], axis=1)       # [L, P]
+        if dev_rounds > 0:
+            state_dev, nr_dev = fsd.state_to_device(transcript)
+            prev_dev = fd.scalar_to_device(spec, e.v)
+            comps = []
+            for rnd in range(dev_rounds):
+                remaining = max_num_vars - rnd
+                amask = np.array([remaining <= len(o.opening_point)
+                                  for o in self.openings])
+                inact = FElt(0, spec)
+                for i, o in enumerate(self.openings):
+                    if not amask[i]:
+                        rem_vars = remaining - len(o.opening_point) - 1
+                        inact = inact + FElt(1 << rem_vars, spec) * o.claim \
+                            * coeffs[i]
+                comp, stack_p, stack_e, prev_dev, state_dev, nr_dev = \
+                    _reduction_round_fs_m_jit(spec)(
+                        stack_p, stack_e, coeffs_mat, jnp.asarray(amask),
+                        fd.scalar_to_device(spec, inact.v),
+                        prev_dev, state_dev, nr_dev,
+                        np.int32(1 << (remaining - 1)))
+                comps.append(comp)
+            comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
+            compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
+                                                 state_dev, CompressedUniPoly)
+            for cpoly, r_j in zip(compressed, r):
+                previous_claim = cpoly.eval_from_hint(previous_claim, r_j)
+        if dev_rounds < max_num_vars:
+            p = spec.p
+            # one pull of the whole stack; per-poly active lengths on host
+            remaining0 = max_num_vars - dev_rounds
+            stack_ints = fd.device_to_ints(spec, stack_p)
+            eq_ints = fd.device_to_ints(spec, stack_e)
+            pb, pe = [], []
             for i, o in enumerate(self.openings):
-                if i not in active:
-                    rem_vars = remaining - len(o.opening_point) - 1
-                    inact = inact + FElt(1 << rem_vars, spec) * o.claim \
-                        * coeffs[i]
-            comp, new_polys, new_eqs, prev_dev, state_dev, nr_dev = \
-                _reduction_round_fs_jit(spec, len(active))(
-                    tuple(bound[i] for i in active),
-                    tuple(bound_eq[i] for i in active),
-                    tuple(coeffs_dev[i] for i in active),
-                    fd.scalar_to_device(spec, inact.v),
-                    prev_dev, state_dev, nr_dev)
-            for k, i in enumerate(active):
-                bound[i] = new_polys[k]
-                bound_eq[i] = new_eqs[k]
-            comps.append(comp)
-        comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
-        compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
-                                             state_dev, CompressedUniPoly)
-        claims = [FElt(fd.to_int(spec, b[..., 0]), spec) for b in bound]
+                li = min(1 << len(o.opening_point), 1 << remaining0)
+                pb.append([int(x) for x in stack_ints[i][:li].tolist()])
+                pe.append([int(x) for x in eq_ints[i][:li].tolist()])
+            for rnd in range(dev_rounds, max_num_vars):
+                remaining = max_num_vars - rnd
+                ev0 = ev2 = 0
+                for i, o in enumerate(self.openings):
+                    if remaining <= len(o.opening_point):
+                        pl, ql = pb[i], pe[i]
+                        h = len(pl) // 2
+                        s0 = s2 = 0
+                        for t in range(h):
+                            plo, phi = pl[t], pl[t + h]
+                            qlo, qhi = ql[t], ql[t + h]
+                            s0 += plo * qlo
+                            s2 += (2 * phi - plo) * (2 * qhi - qlo)
+                        ev0 += coeffs[i].v * (s0 % p)
+                        ev2 += coeffs[i].v * (s2 % p)
+                    else:
+                        rem_vars = remaining - len(o.opening_point) - 1
+                        scaled = ((1 << rem_vars) * o.claim.v % p) \
+                            * coeffs[i].v
+                        ev0 += scaled
+                        ev2 += scaled
+                e0 = FElt(ev0 % p, spec)
+                round_poly = UniPoly.from_evals(
+                    [e0, previous_claim - e0, FElt(ev2 % p, spec)])
+                cpoly = round_poly.compress()
+                cpoly.append_to_transcript(transcript)
+                r_j = transcript.challenge_scalar()
+                r.append(r_j)
+                for i, o in enumerate(self.openings):
+                    if remaining <= len(o.opening_point):
+                        pb[i] = _host_bind(p, [pb[i]], r_j.v)[0]
+                        pe[i] = _host_bind(p, [pe[i]], r_j.v)[0]
+                previous_claim = round_poly.evaluate(r_j)
+                compressed.append(cpoly)
+            claims = [FElt(pb[i][0], spec) for i in range(len(pb))]
+            return SumcheckInstanceProof(compressed), r, claims
+        finals = fd.device_to_ints(spec, stack_p[..., 0])   # [P]
+        claims = [FElt(int(v), spec) for v in finals.tolist()]
         return SumcheckInstanceProof(compressed), r, claims
 
-    def reduce_and_prove(self, pcs, transcript: Transcript) -> ReducedOpeningProof:
+    def reduce_and_prove(self, pcs, transcript: Transcript,
+                         mesh=None) -> ReducedOpeningProof:
         spec = self.spec
+        if mesh is not None:
+            # shard every accumulated polynomial (and its eq) on the
+            # hypercube axis; the reduction sumcheck's binds are chip-local
+            # (opening_proof.rs:216-335's par_iter over polys+x, SURVEY §2.8)
+            from ..parallel.sharding import maybe_shard_hypercube
+            self._mesh = mesh
+            for o in self.openings:
+                o.polynomial = maybe_shard_hypercube(mesh, o.polynomial)
+                o.eq_poly = maybe_shard_hypercube(mesh, o.eq_poly)
         rho_powers = transcript.challenge_scalar_powers(len(self.openings))
         sumcheck_proof, r_sumcheck, sumcheck_claims = \
             self.prove_batch_opening_reduction(rho_powers, transcript)

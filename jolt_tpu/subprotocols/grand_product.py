@@ -184,6 +184,115 @@ def _pair_bind(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# fixed-shape MASKED pair kernels (one compiled program per GP instance)
+# ---------------------------------------------------------------------------
+#
+# The pair tensors stay at the GP's FULL leaf-layer size S for every layer
+# and round; the active pair count h is a TRACED scalar.  Inactive lanes
+# are zeros (enforced by the masked bind and layer construction), and the
+# eq factors are masked before the final reductions, so round evaluations
+# are bit-identical to the shrinking-shape kernels while ONE compiled
+# program serves every (layer, round) — the per-halving-shape XLA/Mosaic
+# compiles (minutes per fresh geometry through the tunnel, docs/PERF.md)
+# collapse to one.
+
+def _pair_cubic_evals_masked(spec: FieldSpec, l, r, eq, coeffs, h):
+    """Masked cubic evals at t = 0, 2, 3 -> [L, 3].  l, r: [B, L, S];
+    eq: [L, S]; coeffs: [L, B]; h: traced active pair count (pairs are
+    (i, i+h), i < h)."""
+    S = l.shape[-1]
+    H = S // 2
+    lf, rf = jnp.moveaxis(l, 0, 1), jnp.moveaxis(r, 0, 1)   # [L, B, S]
+    l0, r0 = lf[..., :H], rf[..., :H]
+    l1 = jax.lax.dynamic_slice_in_dim(lf, h, H, axis=-1)
+    r1 = jax.lax.dynamic_slice_in_dim(rf, h, H, axis=-1)
+    cl0 = fd.fmul(spec, _bcast_coeffs(coeffs, l0), l0)
+    cl1 = fd.fmul(spec, _bcast_coeffs(coeffs, l1), l1)
+    m_l = fd.fsub(spec, cl1, cl0)
+    m_r = fd.fsub(spec, r1, r0)
+    le2 = fd.fadd(spec, cl1, m_l)
+    le3 = fd.fadd(spec, le2, m_l)
+    re2 = fd.fadd(spec, r1, m_r)
+    re3 = fd.fadd(spec, re2, m_r)
+
+    s0 = fd.fsum(spec, fd.fmul(spec, cl0, r0), axis=0)   # [L, H]
+    s2 = fd.fsum(spec, fd.fmul(spec, le2, re2), axis=0)
+    s3 = fd.fsum(spec, fd.fmul(spec, le3, re3), axis=0)
+
+    eq0 = eq[..., :H]
+    eq1 = jax.lax.dynamic_slice_in_dim(eq, h, H, axis=-1)
+    m_eq = fd.fsub(spec, eq1, eq0)
+    eqe2 = fd.fadd(spec, eq1, m_eq)
+    eqe3 = fd.fadd(spec, eqe2, m_eq)
+
+    mask = jnp.arange(H, dtype=jnp.int32) < h
+    zero = jnp.uint32(0)
+    e0 = fd.fsum(spec, jnp.where(mask, fd.fmul(spec, eq0, s0), zero),
+                 axis=0)
+    e2 = fd.fsum(spec, jnp.where(mask, fd.fmul(spec, eqe2, s2), zero),
+                 axis=0)
+    e3 = fd.fsum(spec, jnp.where(mask, fd.fmul(spec, eqe3, s3), zero),
+                 axis=0)
+    return jnp.stack([e0, e2, e3], axis=1)               # [L, 3]
+
+
+def _pair_bind_masked(spec: FieldSpec, l, r, eq, r_chal, h):
+    """Masked bind: out[i] = lo[i] + r*(hi[i] - lo[i]) for i < h, zero
+    beyond; outputs stay [.., S] with active prefix h."""
+    mask = None
+
+    def bind_lf(t):                                      # [L, ..., S]
+        nonlocal mask
+        H = t.shape[-1] // 2
+        if mask is None:
+            mask = jnp.arange(H, dtype=jnp.int32) < h
+        lo = t[..., :H]
+        hi = jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
+        rb = jnp.broadcast_to(
+            r_chal.reshape((fd.L,) + (1,) * (t.ndim - 1)), lo.shape)
+        bound = fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+        bound = jnp.where(mask, bound, jnp.uint32(0))
+        return jnp.concatenate([bound, jnp.zeros_like(bound)], axis=-1)
+
+    nl = jnp.moveaxis(bind_lf(jnp.moveaxis(l, 0, 1)), 0, 1)
+    nr = jnp.moveaxis(bind_lf(jnp.moveaxis(r, 0, 1)), 0, 1)
+    return nl, nr, bind_lf(eq)
+
+
+def _gp_round_fs_masked(spec: FieldSpec, l, r, eq, coeffs_dev, prev, state,
+                        nr, h):
+    """ONE masked GKR round with the Fiat-Shamir transcript on device:
+    fixed shapes + traced h — a single compiled program covers every
+    (layer, round) of a GP instance."""
+    e023 = _pair_cubic_evals_masked(spec, l, r, eq, coeffs_dev, h)
+    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
+                                                     state, nr)
+    l, r, eq = _pair_bind_masked(spec, l, r, eq, rj, h)
+    return comp, l, r, eq, prev, state, nr
+
+
+@functools.lru_cache(maxsize=None)
+def _gp_round_fs_m_jit(spec: FieldSpec):
+    return jax.jit(partial(_gp_round_fs_masked, spec))
+
+
+_pair_cubic_evals_m_jit = jax.jit(_pair_cubic_evals_masked,
+                                  static_argnums=0)
+_pair_bind_m_jit = jax.jit(_pair_bind_masked, static_argnums=0)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _pad_last(spec: FieldSpec, t: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Zero-pad the last axis up to S (jit so the pad fuses; one tiny
+    program per source size)."""
+    pad = S - t.shape[-1]
+    if pad == 0:
+        return t
+    widths = [(0, 0)] * (t.ndim - 1) + [(0, pad)]
+    return jnp.pad(t, widths)
+
+
+# ---------------------------------------------------------------------------
 # device-resident layer rounds (Fiat-Shamir chain on device)
 # ---------------------------------------------------------------------------
 #
@@ -386,6 +495,7 @@ class BatchedDenseGrandProduct:
                  real_batch: int | None = None):
         self.layers = layers  # [(l, r)] pairs, layers[0] = leaves, bit-rev
         self.spec = spec
+        self.round_tail = True   # False on mesh-sharded instances
         # batch size BEFORE mesh zero-padding (claims/proof entries cover
         # only the real circuits; pad rows are neutralized by zero coeffs)
         self.real_batch = real_batch if real_batch is not None \
@@ -408,7 +518,9 @@ class BatchedDenseGrandProduct:
         if mesh is not None:
             from ..parallel.sharding import shard_gp_pair_layers
             layers = shard_gp_pair_layers(mesh, layers)
-        return BatchedDenseGrandProduct(layers, spec, real_batch)
+        gp = BatchedDenseGrandProduct(layers, spec, real_batch)
+        gp.round_tail = mesh is None
+        return gp
 
     def num_layers(self) -> int:
         return len(self.layers)
@@ -420,13 +532,14 @@ class BatchedDenseGrandProduct:
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
         claims = self.claims()
         layer_proofs, r_grand_product, _ = _prove_dense_layers(
-            self.spec, self.layers, claims, [], transcript)
+            self.spec, self.layers, claims, [], transcript,
+            round_tail=self.round_tail)
         return BatchedGrandProductProof(layer_proofs), r_grand_product
 
 
 def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
                         claims: list[FElt], r_grand_product: list[FElt],
-                        transcript: Transcript):
+                        transcript: Transcript, round_tail: bool = True):
     """Prove multiplication-gate layers top-down (grand_product.rs:199-251).
 
     `layers` are (l, r) bit-reversed pairs, bottom-up.  Returns
@@ -437,6 +550,11 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
 
     layer_proofs: list[BatchedGrandProductLayerProof] = []
     n_real = len(claims)
+    # canonical device-layer size: every device layer pads to the largest
+    # so the masked round kernels compile exactly once per GP instance
+    dev_sizes = [lay[0].shape[-1] for lay in layers
+                 if not isinstance(lay, HostPairLayer)]
+    s_canon = max(dev_sizes) if dev_sizes else None
     for layer in reversed(layers):
         host_layer = isinstance(layer, HostPairLayer)
         if host_layer:
@@ -508,7 +626,28 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
         eq = eq_evals_device_br(
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
 
-        if num_rounds > 0 and _use_device_fs():
+        # device rounds only while the per-side size is above the host-tail
+        # threshold; the halving tail rounds run as host bigints (same as
+        # the toggle layer) — identical transcript, and the per-(B, s) XLA
+        # programs for every tiny shape disappear
+        tail = 0 if not round_tail else _tail_threshold()
+        dev_rounds = 0
+        while dev_rounds < num_rounds and (_s >> dev_rounds) > tail:
+            dev_rounds += 1
+
+        # Canonical fixed shapes: pad this layer's tensors up to the GP's
+        # largest device-layer size; the masked round kernels take the
+        # active pair count h as a TRACED scalar, so ONE compiled program
+        # serves every (layer, round) of this GP instance.
+        if s_canon is not None and _s < s_canon:
+            l = _pad_last(spec, l, s_canon)
+            r = _pad_last(spec, r, s_canon)
+        if s_canon is not None and eq.shape[-1] < s_canon:
+            eq = _pad_last(spec, eq, s_canon)
+        h = _s // 2
+
+        previous_claim = joint_claim
+        if dev_rounds > 0 and _use_device_fs():
             # device Fiat-Shamir: the whole layer in ONE dispatch, then a
             # host replay of the transcript (also validates the device
             # keccak chain bit-for-bit)
@@ -516,19 +655,22 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
             state_dev, nr_dev = fsd.state_to_device(transcript)
             prev_dev = fd.scalar_to_device(spec, joint_claim.v)
             comps = []
-            for _ in range(num_rounds):
+            for _ in range(dev_rounds):
                 comp, l, r, eq, prev_dev, state_dev, nr_dev = \
-                    _gp_round_fs_jit(spec)(l, r, eq, coeffs_dev, prev_dev,
-                                           state_dev, nr_dev)
+                    _gp_round_fs_m_jit(spec)(l, r, eq, coeffs_dev, prev_dev,
+                                             state_dev, nr_dev, np.int32(h))
                 comps.append(comp)
+                h //= 2
             comp_ints = fd.device_to_ints(
                 spec, jnp.stack(comps, axis=1))            # [rounds, 3]
             compressed, r_sumcheck = fsd.replay_and_check(
                 spec, comp_ints, transcript, state_dev, CompressedUniPoly)
+            for cpoly, r_j in zip(compressed, r_sumcheck):
+                previous_claim = cpoly.eval_from_hint(previous_claim, r_j)
         else:
-            previous_claim = joint_claim
-            for _ in range(num_rounds):
-                e023 = _pair_cubic_evals(spec, l, r, eq, coeffs_dev)
+            for _ in range(dev_rounds):
+                e023 = _pair_cubic_evals_m_jit(spec, l, r, eq, coeffs_dev,
+                                               np.int32(h))
                 ints = fd.device_to_ints(spec, e023).tolist()
                 e0, e2, e3 = (FElt(int(v), spec) for v in ints)
                 round_poly = UniPoly.from_evals(
@@ -537,17 +679,50 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
                 cpoly.append_to_transcript(transcript)
                 r_j = transcript.challenge_scalar()
                 r_sumcheck.append(r_j)
-                l, r, eq = _pair_bind(spec, l, r, eq,
-                                      fd.scalar_to_device(spec, r_j.v))
+                l, r, eq = _pair_bind_m_jit(spec, l, r, eq,
+                                            fd.scalar_to_device(spec, r_j.v),
+                                            np.int32(h))
                 previous_claim = round_poly.evaluate(r_j)
                 compressed.append(cpoly)
 
-        finals_l = fd.device_to_ints(spec, jnp.moveaxis(l, 0, 1)[..., 0])
-        finals_r = fd.device_to_ints(spec, jnp.moveaxis(r, 0, 1)[..., 0])
-        left_claims = [FElt(int(v), spec)
-                       for v in finals_l.tolist()][:n_real]
-        right_claims = [FElt(int(v), spec)
-                        for v in finals_r.tolist()][:n_real]
+        if dev_rounds < num_rounds:
+            # host tail: pull the bound layer once (active prefix only —
+            # the padded region is dead zeros), finish in bigints
+            p = spec.p
+            s_active = _s >> dev_rounds
+            la = l[..., :s_active]
+            ra = r[..., :s_active]
+            ll = [[int(x) for x in row] for row in
+                  fd.device_to_ints(spec, jnp.moveaxis(la, 1, 0)).tolist()]
+            rr = [[int(x) for x in row] for row in
+                  fd.device_to_ints(spec, jnp.moveaxis(ra, 1, 0)).tolist()]
+            eq_h = [int(x) for x in
+                    fd.device_to_ints(spec, eq[..., :s_active]).tolist()]
+            coeff_ints = [c.v for c in coeffs] + [0] * (len(ll) - n_real)
+            for _ in range(num_rounds - dev_rounds):
+                e0i, e2i, e3i = _host_cubic_evals(p, ll, rr, eq_h,
+                                                  coeff_ints)
+                e0, e2, e3 = (FElt(v, spec) for v in (e0i, e2i, e3i))
+                round_poly = UniPoly.from_evals(
+                    [e0, previous_claim - e0, e2, e3])
+                cpoly = round_poly.compress()
+                cpoly.append_to_transcript(transcript)
+                r_j = transcript.challenge_scalar()
+                r_sumcheck.append(r_j)
+                ll = _host_bind(p, ll, r_j.v)
+                rr = _host_bind(p, rr, r_j.v)
+                eq_h = _host_bind(p, [eq_h], r_j.v)[0]
+                previous_claim = round_poly.evaluate(r_j)
+                compressed.append(cpoly)
+            left_claims = [FElt(row[0], spec) for row in ll][:n_real]
+            right_claims = [FElt(row[0], spec) for row in rr][:n_real]
+        else:
+            finals_l = fd.device_to_ints(spec, jnp.moveaxis(l, 0, 1)[..., 0])
+            finals_r = fd.device_to_ints(spec, jnp.moveaxis(r, 0, 1)[..., 0])
+            left_claims = [FElt(int(v), spec)
+                           for v in finals_l.tolist()][:n_real]
+            right_claims = [FElt(int(v), spec)
+                            for v in finals_r.tolist()][:n_real]
 
         for lc, rc in zip(left_claims, right_claims):
             transcript.append_scalar(lc)
@@ -633,6 +808,83 @@ def _toggle_bind(spec: FieldSpec, flags: jnp.ndarray, fingerprints: jnp.ndarray,
     return bb(flags), bb(fingerprints), bb(eq)
 
 
+def _toggle_cubic_evals_masked(spec: FieldSpec, flags, fingerprints, eq,
+                               coeffs, h):
+    """Masked toggle-layer round evals: tensors stay at full [.., T],
+    active pairs (i, i+h), i < h (traced).  Only the eq factor needs the
+    mask — inactive lanes' gates are killed by eq == 0 there."""
+    f2 = jnp.repeat(flags, 2, axis=1)              # [L, 2m, T]
+    H = f2.shape[-1] // 2
+    one = fd.ones(spec, (f2.shape[1], H))
+
+    def halves(t):
+        return t[..., :H], jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
+
+    f0, f1 = halves(f2)
+    p0, p1 = halves(fingerprints)
+    e0, e1 = halves(eq)
+    mask = jnp.arange(H, dtype=jnp.int32) < h
+    m_f = fd.fsub(spec, f1, f0)
+    m_p = fd.fsub(spec, p1, p0)
+    m_e = fd.fsub(spec, e1, e0)
+    out = []
+    ft, pt, et = f0, p0, e0
+    for t in (0, 2, 3):
+        if t == 2:
+            ft = fd.fadd(spec, f1, m_f)
+            pt = fd.fadd(spec, p1, m_p)
+            et = fd.fadd(spec, e1, m_e)
+        elif t == 3:
+            ft = fd.fadd(spec, ft, m_f)
+            pt = fd.fadd(spec, pt, m_p)
+            et = fd.fadd(spec, et, m_e)
+        gate = fd.fadd(spec, fd.fmul(spec, ft, pt), fd.fsub(spec, one, ft))
+        weighted = fd.fmul(spec, _bcast_coeffs(coeffs, gate), gate)
+        per_i = fd.fsum(spec, weighted, axis=0)            # [L, H]
+        masked_e = jnp.where(mask, et, jnp.uint32(0))
+        out.append(fd.fsum(spec, fd.fmul(spec, masked_e, per_i), axis=-1))
+    return jnp.stack(out, axis=1)
+
+
+def _toggle_bind_masked(spec: FieldSpec, flags, fingerprints, eq, r, h):
+    mask = None
+
+    def bb(t):
+        nonlocal mask
+        H = t.shape[-1] // 2
+        if mask is None:
+            mask = jnp.arange(H, dtype=jnp.int32) < h
+        lo = t[..., :H]
+        hi = jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
+        rb = jnp.broadcast_to(r.reshape((fd.L,) + (1,) * (t.ndim - 1)),
+                              lo.shape)
+        bound = fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+        bound = jnp.where(mask, bound, jnp.uint32(0))
+        return jnp.concatenate([bound, jnp.zeros_like(bound)], axis=-1)
+
+    return bb(flags), bb(fingerprints), bb(eq)
+
+
+_toggle_cubic_evals_m_jit = jax.jit(_toggle_cubic_evals_masked,
+                                    static_argnums=0)
+_toggle_bind_m_jit = jax.jit(_toggle_bind_masked, static_argnums=0)
+
+
+def _toggle_round_fs_masked(spec: FieldSpec, flags, fps, eq, coeffs_dev,
+                            prev, state, nr, h):
+    """ONE masked toggle round with the device Fiat-Shamir transcript."""
+    e023 = _toggle_cubic_evals_masked(spec, flags, fps, eq, coeffs_dev, h)
+    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
+                                                     state, nr)
+    flags, fps, eq = _toggle_bind_masked(spec, flags, fps, eq, rj, h)
+    return comp, flags, fps, eq, prev, state, nr
+
+
+@functools.lru_cache(maxsize=None)
+def _toggle_round_fs_m_jit(spec: FieldSpec):
+    return jax.jit(partial(_toggle_round_fs_masked, spec))
+
+
 def _host_toggle_cubic_evals(p: int, flags: list, fps: list, eq: list,
                              coeffs: list[int]):
     """Mirror of _toggle_cubic_evals on host ints: flags[m][s], fps[2m][s],
@@ -676,28 +928,43 @@ class ToggledBatchedGrandProduct:
     """
 
     def __init__(self, flags: jnp.ndarray, fingerprints: jnp.ndarray,
-                 spec: FieldSpec | None = None):
+                 spec: FieldSpec | None = None, mesh=None):
         self.spec = spec or fr_spec()
+        self.mesh = mesh
         # toggle-round tensors, bit-reversed along the hypercube axis
         self.flags = _bitrev_last(self.spec, flags)              # [L, m, T]
         self.fingerprints = _bitrev_last(self.spec, fingerprints)  # [L, 2m, T]
         values = _toggle_values(self.spec, flags, fingerprints)
-        self.layers = _build_pair_tree(self.spec, values)
+        self.real_batch = values.shape[1]
+        self.layers = _build_pair_tree(self.spec, values,
+                                       host_tail=0 if mesh is not None
+                                       else None)
+        if mesh is not None:
+            # dense layers shard on the BATCH axis; the toggle-round tensors
+            # shard on the HYPERCUBE axis T (the toggle rounds' work scales
+            # with T, not the 2m batch — SURVEY §2.8)
+            from ..parallel.sharding import (maybe_shard_hypercube,
+                                             shard_gp_pair_layers)
+            self.layers = shard_gp_pair_layers(mesh, self.layers)
+            self.flags = maybe_shard_hypercube(mesh, self.flags)
+            self.fingerprints = maybe_shard_hypercube(mesh, self.fingerprints)
 
     @staticmethod
-    def construct(leaves, spec: FieldSpec | None = None):
+    def construct(leaves, spec: FieldSpec | None = None, mesh=None):
         flags, fingerprints = leaves
-        return ToggledBatchedGrandProduct(flags, fingerprints, spec)
+        return ToggledBatchedGrandProduct(flags, fingerprints, spec,
+                                          mesh=mesh)
 
     def claims(self) -> list[FElt]:
-        return _pair_claims(self.spec, self.layers[-1])
+        return _pair_claims(self.spec, self.layers[-1])[: self.real_batch]
 
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
         spec = self.spec
         claims = self.claims()
         layer_proofs, r_grand_product, claims = _prove_dense_layers(
-            spec, self.layers, claims, [], transcript)
+            spec, self.layers, claims, [], transcript,
+            round_tail=self.mesh is None)
 
         # toggle layer (grand_product.rs:1422-1474): log T rounds, no r_layer
         coeffs = transcript.challenge_vector(len(claims))
@@ -717,11 +984,12 @@ class ToggledBatchedGrandProduct:
         # threshold; the tiny tail rounds run as host bigints (identical
         # transcript, no per-shape XLA programs — see module comment)
         size = flags.shape[-1]
-        tail = _tail_threshold()
+        tail = 0 if self.mesh is not None else _tail_threshold()
         dev_rounds = 0
         while dev_rounds < num_rounds and (size >> dev_rounds) > tail:
             dev_rounds += 1
         previous_claim = joint_claim
+        h = size // 2
         if dev_rounds > 0 and _use_device_fs():
             from . import fs_device as fsd
             state_dev, nr_dev = fsd.state_to_device(transcript)
@@ -729,9 +997,11 @@ class ToggledBatchedGrandProduct:
             comps = []
             for _ in range(dev_rounds):
                 comp, flags, fps, eq, prev_dev, state_dev, nr_dev = \
-                    _toggle_round_fs_jit(spec)(flags, fps, eq, coeffs_dev,
-                                               prev_dev, state_dev, nr_dev)
+                    _toggle_round_fs_m_jit(spec)(flags, fps, eq, coeffs_dev,
+                                                 prev_dev, state_dev, nr_dev,
+                                                 np.int32(h))
                 comps.append(comp)
+                h //= 2
             comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
             compressed, r_sumcheck = fsd.replay_and_check(
                 spec, comp_ints, transcript, state_dev, CompressedUniPoly)
@@ -739,7 +1009,8 @@ class ToggledBatchedGrandProduct:
                 previous_claim = cpoly.eval_from_hint(previous_claim, r_j)
         else:
             for _ in range(dev_rounds):
-                e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
+                e023 = _toggle_cubic_evals_m_jit(spec, flags, fps, eq,
+                                                 coeffs_dev, np.int32(h))
                 ints = fd.device_to_ints(spec, e023).tolist()
                 e0, e2, e3 = (FElt(int(v), spec) for v in ints)
                 round_poly = UniPoly.from_evals(
@@ -748,19 +1019,23 @@ class ToggledBatchedGrandProduct:
                 cpoly.append_to_transcript(transcript)
                 r_j = transcript.challenge_scalar()
                 r_sumcheck.append(r_j)
-                flags, fps, eq = _toggle_bind(
-                    spec, flags, fps, eq, fd.scalar_to_device(spec, r_j.v))
+                flags, fps, eq = _toggle_bind_m_jit(
+                    spec, flags, fps, eq, fd.scalar_to_device(spec, r_j.v),
+                    np.int32(h))
                 previous_claim = round_poly.evaluate(r_j)
                 compressed.append(cpoly)
+                h //= 2
 
         if dev_rounds < num_rounds:
-            # host tail: pull once, finish the layer in bigint arithmetic
+            # host tail: pull the active prefix once, finish in bigints
             p = spec.p
-            flags_h = [[int(x) for x in row] for row in
-                       fd.device_to_ints(spec, flags).tolist()]
-            fps_h = [[int(x) for x in row] for row in
-                     fd.device_to_ints(spec, fps).tolist()]
-            eq_h = [int(x) for x in fd.device_to_ints(spec, eq).tolist()]
+            s_active = size >> dev_rounds
+            flags_h = [[int(x) for x in row] for row in fd.device_to_ints(
+                spec, flags[..., :s_active]).tolist()]
+            fps_h = [[int(x) for x in row] for row in fd.device_to_ints(
+                spec, fps[..., :s_active]).tolist()]
+            eq_h = [int(x) for x in fd.device_to_ints(
+                spec, eq[..., :s_active]).tolist()]
             coeff_ints = [c.v for c in coeffs]
             for _ in range(num_rounds - dev_rounds):
                 e0i, e2i, e3i = _host_toggle_cubic_evals(

@@ -19,6 +19,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import FElt, FieldSpec, fr_spec
 from ..field import device as fd
@@ -122,9 +123,11 @@ def prove_arbitrary(num_rounds: int,
         r: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
         tail_dev, moved = _tail_device(), False
+        h = polys[0].shape[-1] // 2
         for _ in range(num_rounds):
-            polys, moved = _maybe_tail(polys, tail_dev, moved)
-            evals_dev = _round_evals(spec, comb_func, degree, polys)
+            polys, moved = _maybe_tail(polys, tail_dev, moved, h)
+            evals_dev = _round_evals_m_jit(spec, comb_func, degree, polys,
+                                           np.int32(h))
             evals = _device_scalars_to_felts(spec, evals_dev)
             round_poly = UniPoly.from_evals(evals)
             cpoly = round_poly.compress()
@@ -134,8 +137,9 @@ def prove_arbitrary(num_rounds: int,
             rv = fd.scalar_to_device(spec, r_j.v)
             if moved:
                 rv = jax.device_put(rv, tail_dev)
-            polys = _bind_all(spec, polys, rv)
+            polys = _bind_all_m_jit(spec, polys, rv, np.int32(h))
             compressed.append(cpoly)
+            h //= 2
         final_evals = [
             FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys
         ]
@@ -190,9 +194,11 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
     compressed: list[CompressedUniPoly] = []
     previous_claim = claim
     tail_dev, moved = _tail_device(), False
+    h = polys[0].shape[-1] // 2
     for _ in range(num_rounds):
-        polys, moved = _maybe_tail(polys, tail_dev, moved)
-        evals_dev = _round_evals_bot(spec, comb_func, degree, polys)
+        polys, moved = _maybe_tail(polys, tail_dev, moved, h)
+        evals_dev = _round_evals_bot_m_jit(spec, comb_func, degree, polys,
+                                           np.int32(h))
         evals = _device_scalars_to_felts(spec, evals_dev)
         if previous_claim is not None:
             evals[1] = previous_claim - evals[0]
@@ -204,40 +210,146 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
         rv = fd.scalar_to_device(spec, r_j.v)
         if moved:
             rv = jax.device_put(rv, tail_dev)
-        polys = _bind_all_bot(spec, polys, rv)
+        polys = _bind_all_bot_m_jit(spec, polys, rv, np.int32(h))
         if previous_claim is not None:
             previous_claim = round_poly.evaluate(r_j)
         compressed.append(cpoly)
+        h //= 2
     final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec) for p in polys]
     return SumcheckInstanceProof(compressed), r, final_evals
+
+
+# -- fixed-shape MASKED round kernels ----------------------------------------
+#
+# A sumcheck's polynomials halve every round; compiling one XLA program per
+# halving shape is what made round-3's e2e prove blow the bench window
+# (~2000 programs; a FRESH Mosaic mont-mul geometry costs minutes to
+# compile through the tunnel, docs/PERF.md).  The masked kernels below keep
+# every tensor at its FULL initial size N with a TRACED active length h:
+# one compiled program serves every round of the sumcheck.  Dead lanes are
+# zeros (maintained by the masked bind), and the combine output is masked
+# before the reduction, so round evaluations are bit-identical to the
+# shrinking-shape path.  Work per round is O(N) instead of O(h) — wall-time
+# noise next to a single program load.
+
+def _round_evals_masked(spec: FieldSpec, comb_func, degree: int,
+                        polys, h) -> jnp.ndarray:
+    """Top-variable masked round evals: active pairs are (i, i+h), i < h,
+    inside [.., N] tensors.  h: traced int32."""
+    N = polys[0].shape[-1]
+    H = N // 2
+    lows = tuple(p[..., :H] for p in polys)
+    highs = tuple(jax.lax.dynamic_slice_in_dim(p, h, H, axis=-1)
+                  for p in polys)
+    mask = jnp.arange(H, dtype=jnp.int32) < h
+
+    def total(params):
+        return fd.fsum(spec, jnp.where(mask, comb_func(spec, params),
+                                       jnp.uint32(0)), axis=-1)
+
+    evals = [total(lows), total(highs)]
+    cur = highs
+    for _ in range(2, degree + 1):
+        cur = tuple(fd.fadd(spec, c, fd.fsub(spec, hi, lo))
+                    for c, hi, lo in zip(cur, highs, lows))
+        evals.append(total(cur))
+    return jnp.stack(evals, axis=1)
+
+
+def _bind_all_masked(spec: FieldSpec, polys, r: jnp.ndarray, h):
+    """Masked top-bind: out[i] = lo[i] + r*(hi[i] - lo[i]) for i < h,
+    zero beyond — output stays [.., N] with active prefix h."""
+    out = []
+    mask = None
+    for p in polys:
+        N = p.shape[-1]
+        H = N // 2
+        if mask is None:
+            mask = jnp.arange(H, dtype=jnp.int32) < h
+        lo = p[..., :H]
+        hi = jax.lax.dynamic_slice_in_dim(p, h, H, axis=-1)
+        rb = jnp.broadcast_to(
+            r.reshape((fd.L,) + (1,) * (p.ndim - 2) + (1,)), lo.shape)
+        bound = fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+        bound = jnp.where(mask, bound, jnp.uint32(0))
+        out.append(jnp.concatenate([bound, jnp.zeros_like(bound)], axis=-1))
+    return tuple(out)
+
+
+def _round_evals_bot_masked(spec: FieldSpec, comb_func, degree: int,
+                            polys, h) -> jnp.ndarray:
+    """Bottom-variable masked round evals: active pairs (2i, 2i+1), i < h —
+    strided slices of the fixed array, no dynamic offsets needed."""
+    N = polys[0].shape[-1]
+    H = N // 2
+    lows = tuple(p[..., 0::2] for p in polys)
+    highs = tuple(p[..., 1::2] for p in polys)
+    mask = jnp.arange(H, dtype=jnp.int32) < h
+
+    def total(params):
+        return fd.fsum(spec, jnp.where(mask, comb_func(spec, params),
+                                       jnp.uint32(0)), axis=-1)
+
+    evals = [total(lows), total(highs)]
+    cur = highs
+    for _ in range(2, degree + 1):
+        cur = tuple(fd.fadd(spec, c, fd.fsub(spec, hi, lo))
+                    for c, hi, lo in zip(cur, highs, lows))
+        evals.append(total(cur))
+    return jnp.stack(evals, axis=1)
+
+
+def _bind_all_bot_masked(spec: FieldSpec, polys, r: jnp.ndarray, h):
+    out = []
+    mask = None
+    for p in polys:
+        H = p.shape[-1] // 2
+        if mask is None:
+            mask = jnp.arange(H, dtype=jnp.int32) < h
+        lo, hi = p[..., 0::2], p[..., 1::2]
+        rb = jnp.broadcast_to(
+            r.reshape((fd.L,) + (1,) * (p.ndim - 2) + (1,)), lo.shape)
+        bound = fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+        bound = jnp.where(mask, bound, jnp.uint32(0))
+        out.append(jnp.concatenate([bound, jnp.zeros_like(bound)], axis=-1))
+    return tuple(out)
+
+
+_round_evals_m_jit = jax.jit(_round_evals_masked, static_argnums=(0, 1, 2))
+_bind_all_m_jit = jax.jit(_bind_all_masked, static_argnums=0)
+_round_evals_bot_m_jit = jax.jit(_round_evals_bot_masked,
+                                 static_argnums=(0, 1, 2))
+_bind_all_bot_m_jit = jax.jit(_bind_all_bot_masked, static_argnums=0)
 
 
 # -- device-resident Fiat-Shamir rounds (one async dispatch per round) -------
 
 def _sc_round_fs(spec: FieldSpec, comb_func, degree: int, bot: bool,
-                 use_hint: bool, polys, prev, state, nr):
+                 use_hint: bool, polys, prev, state, nr, h):
     """One generic sumcheck round with the transcript on device
     (fs_device.py).  `prev` is the running claim (used only when
-    use_hint — the bottom-binding provers' t=1 derivation)."""
+    use_hint — the bottom-binding provers' t=1 derivation).  Shapes are
+    FIXED; `h` is the traced active half-length, so every round of the
+    sumcheck reuses this one compiled program."""
     from . import fs_device as fsd
-    ev_fn = _round_evals_bot if bot else _round_evals
-    evals_dev = ev_fn(spec, comb_func, degree, polys)      # [L, degree+1]
+    ev_fn = _round_evals_bot_masked if bot else _round_evals_masked
+    evals_dev = ev_fn(spec, comb_func, degree, polys, h)   # [L, degree+1]
     evals = [evals_dev[:, t] for t in range(degree + 1)]
     if use_hint:
         evals[1] = fd.fsub(spec, prev, evals[0])
     coeffs = fsd.interpolate(spec, evals)
     comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
     prev = fsd.horner(spec, coeffs, rj)
-    bind = _bind_all_bot if bot else _bind_all
-    polys = bind(spec, polys, rj)
+    bind = _bind_all_bot_masked if bot else _bind_all_masked
+    polys = bind(spec, polys, rj, h)
     return comp, polys, prev, state, nr
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _sc_round_fs_jit(spec, comb_func, degree, bot, use_hint, polys, prev,
-                     state, nr):
+                     state, nr, h):
     return _sc_round_fs(spec, comb_func, degree, bot, use_hint, polys,
-                        prev, state, nr)
+                        prev, state, nr, h)
 
 
 def _use_device_fs() -> bool:
@@ -267,12 +379,15 @@ def _tail_device():
     return cpu
 
 
-def _maybe_tail(polys, tail_dev, moved: bool):
-    """Move polys to the CPU backend once they shrink below the tail."""
+def _maybe_tail(polys, tail_dev, moved: bool, h: int | None = None):
+    """Move polys to the CPU backend once the ACTIVE size shrinks below
+    the tail threshold (tensors stay at full physical size under the
+    masked fixed-shape kernels, so the active length 2h is the signal)."""
     if moved or tail_dev is None or not polys:
         return polys, moved
     from .grand_product import _tail_threshold
-    if polys[0].shape[-1] <= _tail_threshold():
+    active = 2 * h if h is not None else polys[0].shape[-1]
+    if active <= _tail_threshold():
         return tuple(jax.device_put(p, tail_dev) for p in polys), True
     return polys, moved
 
@@ -294,6 +409,7 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
     use_hint = claim is not None
     compressed: list[CompressedUniPoly] = []
     r: list[FElt] = []
+    h = n // 2
     if dev_rounds > 0:
         state_dev, nr_dev = fsd.state_to_device(transcript)
         prev_dev = fd.scalar_to_device(spec, claim.v) if use_hint \
@@ -302,8 +418,9 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
         for _ in range(dev_rounds):
             comp, polys, prev_dev, state_dev, nr_dev = _sc_round_fs_jit(
                 spec, comb_func, degree, bot, use_hint, polys, prev_dev,
-                state_dev, nr_dev)
+                state_dev, nr_dev, np.int32(h))
             comps.append(comp)
+            h //= 2
         comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
         compressed, r = fsd.replay_and_check(spec, comp_ints, transcript,
                                              state_dev, CompressedUniPoly)
@@ -313,11 +430,11 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
             for cpoly, rj in zip(compressed, r):
                 previous_claim = cpoly.eval_from_hint(previous_claim, rj)
         polys = tuple(jax.device_put(p, tail_dev) for p in polys)
-        ev_fn = _round_evals_bot if bot else _round_evals
-        bind = _bind_all_bot if bot else _bind_all
+        ev_fn = _round_evals_bot_m_jit if bot else _round_evals_m_jit
+        bind = _bind_all_bot_m_jit if bot else _bind_all_m_jit
         for _ in range(num_rounds - dev_rounds):
             evals = _device_scalars_to_felts(
-                spec, ev_fn(spec, comb_func, degree, polys))
+                spec, ev_fn(spec, comb_func, degree, polys, np.int32(h)))
             if use_hint:
                 evals[1] = previous_claim - evals[0]
             round_poly = UniPoly.from_evals(evals)
@@ -326,10 +443,11 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
             r_j = transcript.challenge_scalar()
             r.append(r_j)
             rv = jax.device_put(fd.scalar_to_device(spec, r_j.v), tail_dev)
-            polys = bind(spec, polys, rv)
+            polys = bind(spec, polys, rv, np.int32(h))
             if use_hint:
                 previous_claim = round_poly.evaluate(r_j)
             compressed.append(cpoly)
+            h //= 2
     return compressed, r, polys
 
 

@@ -241,17 +241,86 @@ def _primary_bind(spec: FieldSpec, eq, outputs, flags, E, r):
             mle.bind_top(spec, flags, r), mle.bind_top(spec, E, r))
 
 
+def _primary_round_evals_masked(spec: FieldSpec, meta, degree: int, eq, outputs,
+                                flags, E, h) -> jnp.ndarray:
+    """Masked fixed-shape variant: tensors stay [.., T], active pairs are
+    (i, i+h) with h TRACED — one compiled program serves every round
+    (see subprotocols/grand_product.py masked-kernel comment).  Only the
+    eq factor needs masking: total = eq * (...) kills dead lanes."""
+    instr_classes, instr_mems, C, M = meta
+    H = eq.shape[-1] // 2
+
+    def split(t):
+        return t[..., :H], jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
+
+    eq_lo, eq_hi = split(eq)
+    out_lo, out_hi = split(outputs)
+    f_lo, f_hi = split(flags)
+    e_lo, e_hi = split(E)
+    mask = jnp.arange(H, dtype=jnp.int32) < h
+    d_eq = fd.fsub(spec, eq_hi, eq_lo)
+    d_out = fd.fsub(spec, out_hi, out_lo)
+    d_f = fd.fsub(spec, f_hi, f_lo)
+    d_e = fd.fsub(spec, e_hi, e_lo)
+
+    evals = []
+    eq_t, out_t, f_t, e_t = eq_lo, out_lo, f_lo, e_lo
+    for t in range(degree + 1):
+        if t == 1:
+            eq_t, out_t, f_t, e_t = eq_hi, out_hi, f_hi, e_hi
+        elif t >= 2:
+            eq_t = fd.fadd(spec, eq_t, d_eq)
+            out_t = fd.fadd(spec, out_t, d_out)
+            f_t = fd.fadd(spec, f_t, d_f)
+            e_t = fd.fadd(spec, e_t, d_e)
+        inner = None
+        for k, cls in enumerate(instr_classes):
+            vals = [DevF(e_t[:, mi], spec) for mi in instr_mems[k]]
+            g = cls().combine_lookups(vals, C, M)
+            term = fd.fmul(spec, f_t[:, k], g.limbs)
+            inner = term if inner is None else fd.fadd(spec, inner, term)
+        total = fd.fmul(spec, jnp.where(mask, eq_t, jnp.uint32(0)),
+                        fd.fsub(spec, inner, out_t))
+        evals.append(fd.fsum(spec, total, axis=-1))
+    return jnp.stack(evals, axis=1)
+
+
+def _primary_bind_masked(spec: FieldSpec, eq, outputs, flags, E, r, h):
+    mask = None
+
+    def bb(t):
+        nonlocal mask
+        H = t.shape[-1] // 2
+        if mask is None:
+            mask = jnp.arange(H, dtype=jnp.int32) < h
+        lo = t[..., :H]
+        hi = jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
+        rb = jnp.broadcast_to(r.reshape((fd.L,) + (1,) * (t.ndim - 1)),
+                              lo.shape)
+        bound = fd.fadd(spec, lo, fd.fmul(spec, rb, fd.fsub(spec, hi, lo)))
+        bound = jnp.where(mask, bound, jnp.uint32(0))
+        return jnp.concatenate([bound, jnp.zeros_like(bound)], axis=-1)
+
+    return bb(eq), bb(outputs), bb(flags), bb(E)
+
+
+_primary_round_evals_m_jit = jax.jit(_primary_round_evals_masked,
+                                     static_argnums=(0, 1, 2))
+_primary_bind_m_jit = jax.jit(_primary_bind_masked, static_argnums=0)
+
+
 def _il_round_fs(spec: FieldSpec, meta, degree: int, eq_b, out_b, f_b, e_b,
-                 state, nr):
+                 state, nr, h):
     """One primary-sumcheck round with the Fiat-Shamir transcript on
-    device (subprotocols/fs_device.py)."""
+    device (subprotocols/fs_device.py); masked fixed shapes + traced h."""
     from ..subprotocols import fs_device as fsd
-    evals_dev = _primary_round_evals(spec, meta, degree, eq_b, out_b, f_b,
-                                     e_b)
+    evals_dev = _primary_round_evals_masked(spec, meta, degree, eq_b, out_b,
+                                            f_b, e_b, h)
     evals = [evals_dev[:, t] for t in range(degree + 1)]
     coeffs = fsd.interpolate(spec, evals)
     comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
-    eq_b, out_b, f_b, e_b = _primary_bind(spec, eq_b, out_b, f_b, e_b, rj)
+    eq_b, out_b, f_b, e_b = _primary_bind_masked(spec, eq_b, out_b, f_b,
+                                                 e_b, rj, h)
     return comp, eq_b, out_b, f_b, e_b, state, nr
 
 
@@ -351,8 +420,8 @@ def _combine_lookups_host(pre: InstructionLookupsPreprocessing,
 
 def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
                               polys: InstructionLookupPolynomials,
-                              opening_accumulator, transcript: Transcript
-                              ) -> InstructionLookupsProof:
+                              opening_accumulator, transcript: Transcript,
+                              mesh=None) -> InstructionLookupsProof:
     spec = pre.spec
     transcript.append_protocol_name(PRIMARY_PROTOCOL)
 
@@ -365,6 +434,14 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     meta = pre.meta_key()
     eq_b, out_b = eq, polys.lookup_outputs
     f_b, e_b = polys.instruction_flags, polys.E_polys
+    if mesh is not None:
+        # hypercube-axis sharding (SURVEY §2.8): each chip owns a slice of
+        # the T axis; round evaluations reduce cross-chip via XLA-inserted
+        # collectives, binds stay local (matches the reference's rayon
+        # par_iter over x, instruction_lookups.rs primary sumcheck)
+        from ..parallel.sharding import maybe_shard_hypercube
+        eq_b, out_b, f_b, e_b = (maybe_shard_hypercube(mesh, t)
+                                 for t in (eq_b, out_b, f_b, e_b))
     r_primary: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
     from ..subprotocols.grand_product import (_tail_threshold,
@@ -374,22 +451,27 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     # tiny tail rounds move to the in-process CPU backend (cheap compiles,
     # no tunnel dispatch; exact integer XLA — transcript-identical)
     tail, tail_dev = _tail_threshold(), _tail_device()
+    if mesh is not None:   # sharded rounds stay on the mesh end-to-end
+        tail, tail_dev = 0, None
     dev_rounds = num_rounds
     if tail_dev is not None:
         dev_rounds = 0
         while dev_rounds < num_rounds and (T >> dev_rounds) > tail:
             dev_rounds += 1
+    h = T // 2
     if dev_rounds > 0 and _use_device_fs():
         # device Fiat-Shamir: primary-sumcheck rounds enqueue without
         # a host sync; one pull + host transcript replay at the end
         from ..subprotocols import fs_device as fsd
+        import numpy as np
         state_dev, nr_dev = fsd.state_to_device(transcript)
         comps = []
         for _ in range(dev_rounds):
             comp, eq_b, out_b, f_b, e_b, state_dev, nr_dev = \
                 _il_round_fs_jit(spec, meta, degree)(
-                    eq_b, out_b, f_b, e_b, state_dev, nr_dev)
+                    eq_b, out_b, f_b, e_b, state_dev, nr_dev, np.int32(h))
             comps.append(comp)
+            h //= 2
         comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
         compressed, r_primary = fsd.replay_and_check(
             spec, comp_ints, transcript, state_dev, CompressedUniPoly)
@@ -397,16 +479,17 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     else:
         dev_fs_done = 0
     if dev_fs_done < num_rounds:
+        import numpy as np
         moved = False
         for j in range(num_rounds - dev_fs_done):
-            if not moved and tail_dev is not None and \
-                    eq_b.shape[-1] <= tail:
+            if not moved and tail_dev is not None and 2 * h <= tail:
                 eq_b, out_b, f_b, e_b = (
                     jax.device_put(t, tail_dev)
                     for t in (eq_b, out_b, f_b, e_b))
                 moved = True
-            evals_dev = _primary_round_evals(spec, meta, degree, eq_b, out_b,
-                                             f_b, e_b)
+            evals_dev = _primary_round_evals_m_jit(spec, meta, degree, eq_b,
+                                                   out_b, f_b, e_b,
+                                                   np.int32(h))
             evals = [FElt(int(v), spec)
                      for v in fd.device_to_ints(spec, evals_dev).tolist()]
             round_poly = UniPoly.from_evals(evals)
@@ -417,9 +500,10 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
             rv = fd.scalar_to_device(spec, r_j.v)
             if moved:
                 rv = jax.device_put(rv, tail_dev)
-            eq_b, out_b, f_b, e_b = _primary_bind(
-                spec, eq_b, out_b, f_b, e_b, rv)
+            eq_b, out_b, f_b, e_b = _primary_bind_m_jit(
+                spec, eq_b, out_b, f_b, e_b, rv, np.int32(h))
             compressed.append(cpoly)
+            h //= 2
 
     flag_evals = [FElt(int(v), spec) for v in
                   fd.device_to_ints(spec, f_b[..., 0]).tolist()]
@@ -441,11 +525,11 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
 
     primary = PrimarySumcheck(SumcheckInstanceProof(compressed), num_rounds,
                               openings)
-    mc_proof = _prove_memory_checking(pre, polys, transcript)
+    mc_proof = _prove_memory_checking(pre, polys, transcript, mesh=mesh)
     return InstructionLookupsProof(primary, mc_proof)
 
 
-def _prove_memory_checking(pre, polys, transcript: Transcript
+def _prove_memory_checking(pre, polys, transcript: Transcript, mesh=None
                            ) -> MemoryCheckingProof:
     spec = pre.spec
     gamma = transcript.challenge_scalar()
@@ -463,9 +547,10 @@ def _prove_memory_checking(pre, polys, transcript: Transcript
         pre.num_memories, pre.subtable_dev, polys.final_cts, identity, g, t)
 
     rw_circuit = ToggledBatchedGrandProduct(polys.memory_flags_dev, rw_leaves,
-                                            spec)
+                                            spec, mesh=mesh)
     rw_hashes = rw_circuit.claims()
-    if_circuit = BatchedDenseGrandProduct.construct(if_leaves, spec)
+    if_circuit = BatchedDenseGrandProduct.construct(if_leaves, spec,
+                                                    mesh=mesh)
     if_hashes = if_circuit.claims()
 
     hashes = _uninterleave_hashes(pre, rw_hashes, if_hashes)

@@ -146,7 +146,14 @@ class JoltVM:
 
     # -- prove ----------------------------------------------------------------
     def prove(self, program_io: JoltDevice, trace: list[JoltTraceStep],
-              pre: JoltPreprocessing):
+              pre: JoltPreprocessing, mesh=None):
+        """With `mesh` (a jax.sharding.Mesh), the whole prover runs
+        multi-chip: commit MSMs shard the point axis, grand products the
+        batch axis, and every sumcheck (primary lookups, output, Spartan
+        outer/inner, opening reduction) the hypercube axis — the pjit
+        equivalent of the reference's rayon sites (grand_product.rs:302-317,
+        msm/mod.rs:87-109; SURVEY §2.8).  Transcript bytes are identical to
+        the single-device prover (shard padding is coefficient-neutral)."""
         spec = self.spec
         trace_length = len(trace)
         trace = pad_trace(trace)
@@ -233,8 +240,12 @@ class JoltVM:
         lay.check_rw(rw_polys)
         lay.check_if(if_polys)
         with span("JoltPolynomials::commit"):
-            rw_commitments = pcs.batch_commit(rw_polys)
-            if_commitments = pcs.batch_commit(if_polys)
+            try:
+                rw_commitments = pcs.batch_commit(rw_polys, mesh=mesh)
+                if_commitments = pcs.batch_commit(if_polys, mesh=mesh)
+            except TypeError:   # PCS without mesh support (Hyrax, custom)
+                rw_commitments = pcs.batch_commit(rw_polys)
+                if_commitments = pcs.batch_commit(if_polys)
 
         transcript.append_scalar(key.vk_digest)
         for com in rw_commitments + if_commitments:
@@ -245,30 +256,34 @@ class JoltVM:
         # --- component proofs -------------------------------------------------
         with span("BytecodeProof::prove_memory_checking"):
             bc_mc = bc.BytecodeMemoryChecking(pre.bytecode)
+            bc_mc.mesh = mesh
             bytecode_proof = bc_mc.prove_memory_checking(bc_polys, acc,
                                                          transcript)
 
         with span("InstructionLookupsProof::prove"):
             instruction_proof = il.prove_instruction_lookups(
-                pre.instruction_lookups, il_polys, acc, transcript)
+                pre.instruction_lookups, il_polys, acc, transcript,
+                mesh=mesh)
 
         with span("ReadWriteMemoryProof::prove"):
             mc_proof = rwm.prove_memory_checking(rwm_polys, bc_polys,
-                                                 transcript, spec)
+                                                 transcript, spec, mesh=mesh)
             output_proof = rwm.prove_outputs(rwm_polys, program_io, acc,
-                                             transcript, spec)
+                                             transcript, spec, mesh=mesh)
             ts_proof = ts.prove_timestamp_validity(ts_polys, rwm_polys, acc,
-                                                   transcript, spec)
+                                                   transcript, spec,
+                                                   mesh=mesh)
             memory_proof = rwm.ReadWriteMemoryProof(mc_proof, output_proof,
                                                     ts_proof)
 
         with span("UniformSpartanProof::prove"):
             spartan_proof = r1cs_mod.spartan_prove(builder, non_uniform, key,
                                                    flattened, T, acc,
-                                                   transcript, spec)
+                                                   transcript, spec,
+                                                   mesh=mesh)
 
         with span("reduce_and_prove"):
-            opening_proof = acc.reduce_and_prove(pcs, transcript)
+            opening_proof = acc.reduce_and_prove(pcs, transcript, mesh=mesh)
 
         proof = JoltProof(trace_length, program_io, bytecode_proof,
                           memory_proof, instruction_proof, spartan_proof,

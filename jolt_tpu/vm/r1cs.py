@@ -672,7 +672,7 @@ def spartan_prove(builder: R1CSBuilder,
                   non_uniform: list[OffsetEqConstraint],
                   key: UniformSpartanKey, polys: list[jnp.ndarray], T: int,
                   opening_accumulator, transcript: Transcript,
-                  spec: FieldSpec) -> UniformSpartanProof:
+                  spec: FieldSpec, mesh=None) -> UniformSpartanProof:
     num_rounds_x = log2_strict(key.num_rows_total())
     num_rounds_y = log2_strict(key.num_cols_total())
 
@@ -681,6 +681,13 @@ def spartan_prove(builder: R1CSBuilder,
                                         for t in tau])
     az, bz, cz = compute_spartan_matrices(builder, non_uniform, polys, T,
                                           spec)
+    if mesh is not None:
+        # hypercube (row) axis sharded: the outer sumcheck's evaluate+bind
+        # are chip-local, only the [L, 4] round evals reduce cross-chip
+        # (the rayon par_iter in spartan.rs's outer sumcheck, SURVEY §2.8)
+        from ..parallel.sharding import shard_sumcheck_polys
+        eq_tau, az, bz, cz = shard_sumcheck_polys(mesh,
+                                                  (eq_tau, az, bz, cz))
     outer_proof, r_outer, outer_evals = prove_arbitrary_bot(
         num_rounds_x, (eq_tau, az, bz, cz), _outer_comb, 3, transcript, spec,
         claim=FElt(0, spec))
@@ -703,8 +710,12 @@ def spartan_prove(builder: R1CSBuilder,
         z = z.at[:, var * T:(var + 1) * T].set(p)
     z = z.at[:, half].set(fd.ones(spec, (1,))[:, 0])
 
+    inner_polys = (poly_abc, z)
+    if mesh is not None:
+        from ..parallel.sharding import shard_sumcheck_polys
+        inner_polys = shard_sumcheck_polys(mesh, inner_polys)
     inner_proof, r_inner, _ = prove_arbitrary(
-        num_rounds_y, (poly_abc, z), _inner_comb, 2, transcript, spec)
+        num_rounds_y, inner_polys, _inner_comb, 2, transcript, spec)
 
     n_prefix = log2_strict(next_power_of_two(key.num_vars)) + 1
     r_col_step = r_inner[n_prefix:]

@@ -282,7 +282,7 @@ def _identity_dev(spec, n):
 
 def prove_memory_checking(polys: ReadWriteMemoryPolynomials,
                           bytecode_polys, transcript: Transcript,
-                          spec: FieldSpec) -> MemoryCheckingProof:
+                          spec: FieldSpec, mesh=None) -> MemoryCheckingProof:
     gamma = transcript.challenge_scalar()
     tau = transcript.challenge_scalar()
     transcript.append_protocol_name(MEMCHECK_PROTOCOL)
@@ -302,8 +302,8 @@ def prove_memory_checking(polys: ReadWriteMemoryPolynomials,
     inf = _rwm_if_leaves(spec, polys.v_init_dev, polys.v_final, polys.t_final,
                          identity_K, g, t)
 
-    rw_circuit = BatchedDenseGrandProduct.construct(rw, spec)
-    if_circuit = BatchedDenseGrandProduct.construct(inf, spec)
+    rw_circuit = BatchedDenseGrandProduct.construct(rw, spec, mesh=mesh)
+    if_circuit = BatchedDenseGrandProduct.construct(inf, spec, mesh=mesh)
     rw_hashes = rw_circuit.claims()
     if_hashes = if_circuit.claims()
 
@@ -350,7 +350,7 @@ def verify_memory_checking(proof: MemoryCheckingProof, transcript: Transcript,
 
 def prove_outputs(polys: ReadWriteMemoryPolynomials, program_io: JoltDevice,
                   opening_accumulator, transcript: Transcript,
-                  spec: FieldSpec) -> OutputSumcheckProof:
+                  spec: FieldSpec, mesh=None) -> OutputSumcheckProof:
     layout = program_io.memory_layout
     memory_size = polys.v_final.shape[-1]
     num_rounds = log2_strict(memory_size)
@@ -378,10 +378,12 @@ def prove_outputs(polys: ReadWriteMemoryPolynomials, program_io: JoltDevice,
         int(program_io.panic)
 
     to_dev = lambda arr: fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(arr)))
+    sc_polys = (eq, to_dev(io_witness_range), polys.v_final, to_dev(v_io))
+    if mesh is not None:
+        from ..parallel.sharding import shard_sumcheck_polys
+        sc_polys = shard_sumcheck_polys(mesh, sc_polys)
     proof, r_sumcheck, openings = prove_arbitrary(
-        num_rounds, (eq, to_dev(io_witness_range), polys.v_final,
-                     to_dev(v_io)),
-        _output_comb, 3, transcript, spec)
+        num_rounds, sc_polys, _output_comb, 3, transcript, spec)
 
     eq_r = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v)
                                       for v in r_sumcheck])

@@ -134,7 +134,8 @@ def _check_multiset(h: MultisetHashes):
 def prove_timestamp_validity(ts_polys: TimestampRangeCheckPolynomials,
                              rwm_polys, opening_accumulator,
                              transcript: Transcript,
-                             spec: FieldSpec) -> TimestampValidityProof:
+                             spec: FieldSpec, mesh=None
+                             ) -> TimestampValidityProof:
     gamma = transcript.challenge_scalar()
     tau = transcript.challenge_scalar()
     transcript.append_protocol_name(PROTOCOL_NAME)
@@ -149,7 +150,7 @@ def prove_timestamp_validity(ts_polys: TimestampRangeCheckPolynomials,
                         rwm_polys.t_read, identity,
                         fd.scalar_to_device(spec, gamma.v),
                         fd.scalar_to_device(spec, tau.v))
-    circuit = BatchedDenseGrandProduct.construct(leaves, spec)
+    circuit = BatchedDenseGrandProduct.construct(leaves, spec, mesh=mesh)
     hashes_flat = circuit.claims()
     rw = hashes_flat[: 4 * NUM_CH]
     inf = hashes_flat[4 * NUM_CH:]

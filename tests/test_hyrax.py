@@ -61,3 +61,55 @@ def test_hyrax_batched_open_verify():
         raise SystemExit("tampered batched hyrax opening must fail")
     except AssertionError:
         pass
+
+
+def _roundtrip(n_vars: int, seed: int, ratio: int = 1) -> None:
+    rng = random.Random(seed)
+    n = 1 << n_vars
+    pcs = HyraxScheme.setup(n, ratio=ratio)
+    ints = [rng.randrange(FR.p) for _ in range(n)]
+    poly = mle.mle_from_ints(FR, ints)
+    point = [fr(rng.randrange(FR.p)) for _ in range(n_vars)]
+    y = mle.evaluate_host([fr(v) for v in ints], point)
+    com = pcs.commit(poly, ratio=ratio)
+    pt = Transcript(b"hx")
+    proof = pcs.prove(poly, point, pt, ratio=ratio)
+    vt = Transcript(b"hx")
+    vt.compare_to(pt)
+    pcs.verify(proof, vt, point, y, com, ratio=ratio)
+
+
+def test_hyrax_small():
+    """Degree edge: 2 variables (a 2x2 coefficient matrix)."""
+    _roundtrip(2, 21)
+
+
+def test_hyrax_larger():
+    _roundtrip(6, 22)
+
+
+def test_hyrax_odd_num_vars():
+    """Odd variable count: matrix_dimensions splits unevenly
+    (hyrax.rs:34-48) — covers the non-square row/col path."""
+    _roundtrip(5, 23)
+
+
+def test_hyrax_tampered_vmp_rejected():
+    """Corrupting the vector-matrix product must break the derived-row
+    commitment equation, not just the dot-product check."""
+    rng = random.Random(24)
+    n = 16
+    pcs = HyraxScheme.setup(n)
+    ints = [rng.randrange(FR.p) for _ in range(n)]
+    poly = mle.mle_from_ints(FR, ints)
+    point = [fr(rng.randrange(FR.p)) for _ in range(4)]
+    y = mle.evaluate_host([fr(v) for v in ints], point)
+    com = pcs.commit(poly)
+    proof = pcs.prove(poly, point, Transcript(b"hx"))
+    proof.vector_matrix_product[0] = \
+        proof.vector_matrix_product[0] + fr(1)
+    try:
+        pcs.verify(proof, Transcript(b"hx"), point, y, com)
+        raise SystemExit("tampered hyrax vector-matrix product must fail")
+    except AssertionError:
+        pass

@@ -71,3 +71,21 @@ def test_kzg_commit_batch_matches_host():
         assert (g.x, g.y) == (want.x, want.y)
     single = kzg_commit(pk, polys[0])
     assert (single.x, single.y) == (got[0].x, got[0].y)
+
+
+def test_bitplane_scanfold_path_matches_host_oracle():
+    """N >= MSM_FOLD_SEG exercises the canonical scan-fold program (the
+    production commit geometry); cross-checked against the bigint MSM."""
+    n = cd.MSM_FOLD_SEG
+    rng = np.random.default_rng(5)
+    pts = _points(64)
+    # tile to n points (repeat pattern keeps host oracle cost bounded)
+    reps = n // 64
+    pts = pts * reps
+    jac = _to_jac(pts)
+    vals = [int(v) for v in rng.integers(0, 1 << 16, size=n)]
+    mont = [fd.ints_to_device(SPEC, vals)]
+    got = cd.batch_msm_bitplane(jac, mont, SPEC)[0]
+    want = g1_msm_host(pts, vals)
+    assert (got.x, got.y, got.is_infinity) == \
+        (want.x, want.y, want.is_infinity)
