@@ -218,35 +218,28 @@ def main():
     coeffs = mk(B)
     r = fd.scalar_to_device(spec, 987654321987654321)
 
-    # The REAL prover inner loop: a full GKR layer — log2(s) rounds of
-    # (cubic evals -> bind) at halving sizes, chained ON DEVICE in one
-    # dispatch (a per-round host round-trip would measure tunnel latency,
-    # not kernel throughput).  Each round's challenge is derived from its
-    # own evals (a real data dependency, so nothing can be CSE'd away) —
-    # exactly the dataflow a GKR layer runs between Fiat-Shamir events.
-    # K outer repetitions amortize dispatch latency (K=2 keeps the traced
-    # program small — tracing + executable load through the tunnel cost
-    # ~170s at K=8 even with a warm compile cache; successive step_jit
-    # calls are independent and pipeline, so iters covers the rest).
-    # Sweep only the rounds whose halves are whole Pallas blocks (h >= 512);
-    # the tiny tail rounds are <3% of the muls but dominate compile time.
-    K = 2
-    rounds = s.bit_length() - 1 - 9
-
-    def layer_sweep(l, rt, eq, coeffs, acc):
-        for _ in range(rounds):
-            evals = _pair_cubic_evals(spec, l, rt, eq, coeffs)
-            acc = fd.fadd(spec, acc, evals)
-            r_chal = evals[:, 0]                  # stand-in FS challenge
-            l, rt, eq = _pair_bind(spec, l, rt, eq, r_chal)
-        return acc
+    # The REAL prover inner loop: GKR rounds of (cubic evals -> bind),
+    # chained ON DEVICE in one dispatch (a per-round host round-trip would
+    # measure tunnel latency, not kernel throughput).  Each round's
+    # challenge is derived from its own evals (a real data dependency, so
+    # nothing can be CSE'd away) — exactly the dataflow a GKR layer runs
+    # between Fiat-Shamir events.  Every rep runs at ONE canonical shape
+    # (the layer-top round, where ~all the muls are): the bound halves are
+    # tiled back to full size, so the whole step uses exactly TWO Mosaic
+    # kernel geometries — the old halving sweep compiled/loaded six, which
+    # cost ~290 s of the bench window on a warm cache (docs/PERF.md).
+    R = 8
 
     def step(l, rt, eq, coeffs, r):
         acc = fd.zeros(spec, (3,))
-        for k in range(K):
-            acc = layer_sweep(l, rt, eq, coeffs, acc)
-            delta = jnp.broadcast_to(acc[:, 0:1], coeffs.shape)
-            coeffs = fd.fadd(spec, coeffs, delta)
+        for k in range(R):
+            evals = _pair_cubic_evals(spec, l, rt, eq, coeffs)
+            acc = fd.fadd(spec, acc, evals)
+            r_chal = evals[:, 0]                  # stand-in FS challenge
+            nl, nr, neq = _pair_bind(spec, l, rt, eq, r_chal)
+            l = jnp.concatenate([nl, nl], axis=-1)
+            rt = jnp.concatenate([nr, nr], axis=-1)
+            eq = jnp.concatenate([neq, neq], axis=-1)
         return acc
 
     step_jit = jax.jit(step)
@@ -261,10 +254,8 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     # field muls per round at per-side size s (h = s/2 sibling pairs):
-    # evals h*(B*5 + 3), bind h*(B*2 + 1); summed over halving rounds
-    muls_layer = sum(
-        (s >> (j + 1)) * (B * 5 + 3 + B * 2 + 1) for j in range(rounds))
-    muls = K * muls_layer
+    # evals h*(B*5 + 3), bind h*(B*2 + 1), R top-shape rounds per step
+    muls = R * (s // 2) * (B * 5 + 3 + B * 2 + 1)
     ops_per_sec = muls / dt
     baseline = 5e8  # multicore-rayon arkworks Fr mul/s (see module docstring)
     _OUT.update(

@@ -173,16 +173,43 @@ def _cond_sub_p(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # modular add / sub / neg
 # ---------------------------------------------------------------------------
+#
+# Public field ops called EAGERLY (host coordination code: eq tables,
+# leaves prep, pulls) route through per-shape jitted wrappers: the op's
+# ~10 internal jnp primitives otherwise each compile their own per-shape
+# XLA program through the tunnel (~0.5 s apiece, hundreds of distinct
+# shapes per prove — docs/PERF.md round 4).  Traced calls stay INLINE so
+# enclosing jitted kernels lower exactly as before (no cache churn).
 
-def fadd(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _traced(*ts) -> bool:
+    return any(isinstance(t, jax.core.Tracer) for t in ts)
+
+
+def _fadd_impl(spec: FieldSpec, a, b):
     return _cond_sub_p(spec, _carry(a + b))
 
 
-def fsub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _fsub_impl(spec: FieldSpec, a, b):
     d, borrow = _sub_borrow(a, b)
     p = jnp.broadcast_to(_const_limbs(spec.p_limbs, a.ndim - 1), a.shape)
     dp = _carry(d + p)
     return jnp.where((borrow == 1)[None], dp, d)
+
+
+_fadd_jit = functools.partial(jax.jit, static_argnums=0)(_fadd_impl)
+_fsub_jit = functools.partial(jax.jit, static_argnums=0)(_fsub_impl)
+
+
+def fadd(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _traced(a, b):
+        return _fadd_impl(spec, a, b)
+    return _fadd_jit(spec, a, b)
+
+
+def fsub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _traced(a, b):
+        return _fsub_impl(spec, a, b)
+    return _fsub_jit(spec, a, b)
 
 
 def fneg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -224,6 +251,20 @@ def _pallas_backend() -> bool:
         return False
 
 
+def _on_cpu(*ts) -> bool:
+    """True when any operand is a CONCRETE array on the cpu backend (the
+    host-tail device) — TPU Pallas kernels cannot execute there.  Traced
+    values (inside jit) report no device and default to the backend gate."""
+    for t in ts:
+        try:
+            d = getattr(t, "devices", None)
+            if d is not None and any(x.platform == "cpu" for x in t.devices()):
+                return True
+        except Exception:
+            pass
+    return False
+
+
 def fmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product: (a * b * R^{-1}) mod p, both operands Montgomery.
 
@@ -235,12 +276,29 @@ def fmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     batch = 1
     for s in shape[1:]:
         batch *= s
-    if batch >= 1024 and _pallas_backend():
+    if batch >= 1024 and _pallas_backend() and not _on_cpu(a, b):
         from .pallas_mont import mont_mul_pallas
-        return mont_mul_pallas(spec, jnp.broadcast_to(a, shape),
-                               jnp.broadcast_to(b, shape))
-    t = _carry(_mul_columns(a, b))
-    return _mont_redc(spec, t)
+        ab = jnp.broadcast_to(a, shape)
+        bb = jnp.broadcast_to(b, shape)
+        try:
+            # per-lowering-platform branch: a jit traced on the TPU default
+            # backend may be dispatched on the cpu host-tail device, where
+            # the Mosaic kernel cannot run — the cpu lowering takes the
+            # (bit-identical) XLA path instead
+            from jax.lax import platform_dependent
+            return platform_dependent(
+                cpu=lambda: _mont_redc(spec, _carry(_mul_columns(ab, bb))),
+                default=lambda: mont_mul_pallas(spec, ab, bb))
+        except ImportError:
+            return mont_mul_pallas(spec, ab, bb)
+    if _traced(a, b):
+        return _mont_redc(spec, _carry(_mul_columns(a, b)))
+    return _fmul_xla_jit(spec, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fmul_xla_jit(spec: FieldSpec, a, b):
+    return _mont_redc(spec, _carry(_mul_columns(a, b)))
 
 
 def fsquare(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -261,21 +319,47 @@ def from_mont_device(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
         batch *= s
     if batch > 2 * _FROM_MONT_CHUNK:
         flat = a.reshape((a.shape[0], batch))
-        parts = []
-        for off in range(0, batch, _FROM_MONT_CHUNK):
-            sl = flat[:, off:off + _FROM_MONT_CHUNK]
-            if sl.shape[1] < _FROM_MONT_CHUNK:  # pad tail: one compile
-                sl = jnp.pad(sl, ((0, 0), (0, _FROM_MONT_CHUNK - sl.shape[1])))
-            parts.append(from_mont_device(spec, sl))
+        padded = -(-batch // _FROM_MONT_CHUNK) * _FROM_MONT_CHUNK
+        if padded != batch:
+            flat = jnp.pad(flat, ((0, 0), (0, padded - batch)))
+        # traced chunk offset: ONE slice+REDC program serves every chunk
+        # (static per-offset slices compiled one program per offset)
+        parts = [_from_mont_chunk_jit(spec, flat, np.int32(off))
+                 for off in range(0, padded, _FROM_MONT_CHUNK)]
         return jnp.concatenate(parts, axis=1)[:, :batch].reshape(a.shape)
+    if _traced(a):
+        pad = jnp.zeros((L + 1,) + a.shape[1:], dtype=U32)
+        return _mont_redc(spec, jnp.concatenate([a, pad], axis=0))
+    return _from_mont_jit(spec, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _from_mont_jit(spec: FieldSpec, a):
     pad = jnp.zeros((L + 1,) + a.shape[1:], dtype=U32)
     return _mont_redc(spec, jnp.concatenate([a, pad], axis=0))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _from_mont_chunk_jit(spec: FieldSpec, flat, off):
+    sl = jax.lax.dynamic_slice_in_dim(flat, off, _FROM_MONT_CHUNK, axis=1)
+    pad = jnp.zeros((L + 1, _FROM_MONT_CHUNK), dtype=U32)
+    return _mont_redc(spec, jnp.concatenate([sl, pad], axis=0))
 
 
 def to_mont_device(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Canonical residue limbs -> Montgomery form, on device (mul by R^2)."""
     r2 = jnp.broadcast_to(_const_limbs(spec.r2_limbs, a.ndim - 1), a.shape)
     return fmul(spec, a, r2)
+
+
+def col(t: jnp.ndarray, i: int, axis: int = 1) -> jnp.ndarray:
+    """t[:, i] via a TRACED-index gather: one XLA program per tensor shape
+    instead of one per (shape, index) — the witness-assembly column
+    splits otherwise compile ~90 near-identical slice programs, ~0.5 s of
+    per-process load each through the tunnel (docs/PERF.md round 4)."""
+    if _traced(t):
+        return jnp.take(t, i, axis=axis)
+    return jnp.take(t, jnp.asarray(i, jnp.int32), axis=axis)
 
 
 def fselect(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -285,6 +369,17 @@ def fselect(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def fsum(spec: FieldSpec, a: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Modular sum along a logical axis via log-depth halving (fadd tree)."""
+    if not _traced(a):
+        return _fsum_jit(spec, a, axis)
+    return _fsum_impl(spec, a, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _fsum_jit(spec: FieldSpec, a, axis: int):
+    return _fsum_impl(spec, a, axis)
+
+
+def _fsum_impl(spec: FieldSpec, a: jnp.ndarray, axis: int) -> jnp.ndarray:
     ax = axis + 1 if axis >= 0 else axis + a.ndim  # account for limb axis
     n = a.shape[ax]
     while n > 1:

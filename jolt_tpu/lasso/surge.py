@@ -90,12 +90,12 @@ class SurgePolynomials:
 
     def read_write_values(self) -> list[jnp.ndarray]:
         """Canonical ordering: dim ‖ read_cts ‖ E (surge.rs:73-80)."""
-        return ([self.dim[:, i] for i in range(self.dim.shape[1])]
-                + [self.read_cts[:, i] for i in range(self.read_cts.shape[1])]
-                + [self.E_polys[:, i] for i in range(self.E_polys.shape[1])])
+        return ([fd.col(self.dim, i) for i in range(self.dim.shape[1])]
+                + [fd.col(self.read_cts, i) for i in range(self.read_cts.shape[1])]
+                + [fd.col(self.E_polys, i) for i in range(self.E_polys.shape[1])])
 
     def init_final_values(self) -> list[jnp.ndarray]:
-        return [self.final_cts[:, i] for i in range(self.final_cts.shape[1])]
+        return [fd.col(self.final_cts, i) for i in range(self.final_cts.shape[1])]
 
 
 @dataclass

@@ -13,6 +13,7 @@ dense fused bind kernel covers them all.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -48,20 +49,41 @@ def bind_bot(spec: FieldSpec, z: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
                                      fd.fsub(spec, hi, lo)))
 
 
+@partial(jax.jit, static_argnums=0)
+def _eq_evals_stacked(spec: FieldSpec, rs: jnp.ndarray) -> jnp.ndarray:
+    """Doubling DP over stacked challenges rs [ell, L] -> eq table
+    [L, 2^ell].  Jitted as ONE program per ell (the eager per-level op
+    chain compiled ~10 programs per level through the tunnel)."""
+    table = fd.ones(spec, (1,))
+    for j in range(rs.shape[0]):
+        rb = jnp.broadcast_to(rs[j][:, None], table.shape)
+        hi = fd.fmul(spec, table, rb)
+        lo = fd.fsub(spec, table, hi)
+        # interleave: new[2i] = lo[i], new[2i+1] = hi[i]
+        table = jnp.stack([lo, hi], axis=-1).reshape(fd.L, -1)
+    return table
+
+
+@partial(jax.jit, static_argnums=0)
+def _eq_evals_stacked_br(spec: FieldSpec, rs: jnp.ndarray) -> jnp.ndarray:
+    table = fd.ones(spec, (1,))
+    for j in range(rs.shape[0]):
+        rb = jnp.broadcast_to(rs[j][:, None], table.shape)
+        hi = fd.fmul(spec, table, rb)
+        lo = fd.fsub(spec, table, hi)
+        table = jnp.concatenate([lo, hi], axis=-1)
+    return table
+
+
 def eq_evals_device(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """eq(r, x) table over the 2^ell hypercube, on device.
 
     r: list of limb vectors [L] (Montgomery).  Index bits big-endian w.r.t.
     r order (eq_poly.rs:34-49 doubling DP).
     """
-    table = fd.ones(spec, (1,))
-    for rj in r:
-        rb = jnp.broadcast_to(rj[:, None], table.shape)
-        hi = fd.fmul(spec, table, rb)
-        lo = fd.fsub(spec, table, hi)
-        # interleave: new[2i] = lo[i], new[2i+1] = hi[i]
-        table = jnp.stack([lo, hi], axis=-1).reshape(fd.L, -1)
-    return table
+    if not r:
+        return fd.ones(spec, (1,))
+    return _eq_evals_stacked(spec, jnp.stack(list(r), axis=0))
 
 
 def eq_evals_device_br(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -73,13 +95,9 @@ def eq_evals_device_br(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray
     are stored bit-reversed so that every bind is a contiguous half-split
     (sums are order-independent mod p, so transcripts are unchanged).
     """
-    table = fd.ones(spec, (1,))
-    for rj in r:
-        rb = jnp.broadcast_to(rj[:, None], table.shape)
-        hi = fd.fmul(spec, table, rb)
-        lo = fd.fsub(spec, table, hi)
-        table = jnp.concatenate([lo, hi], axis=-1)
-    return table
+    if not r:
+        return fd.ones(spec, (1,))
+    return _eq_evals_stacked_br(spec, jnp.stack(list(r), axis=0))
 
 
 def bitrev_indices(n: int) -> np.ndarray:

@@ -127,6 +127,50 @@ def state_to_device(transcript) -> tuple:
             jnp.uint32(transcript.n_rounds))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def fs_round_jit(spec: FieldSpec, degree: int, use_hint: bool):
+    """The STANDALONE device Fiat-Shamir round program: interpolate the
+    round poly from its evals, append + draw the challenge, Horner the
+    next claim.  Fixed [L, degree+1] shapes — ONE compiled program per
+    (degree, hint) is shared by EVERY sumcheck-shaped protocol.  Chained
+    eagerly with the (separately-jitted) evals and bind kernels, rounds
+    still enqueue with no host sync, but the fused per-protocol
+    mega-programs (an hour-scale fresh compile for the full-ISA primary
+    round) disappear."""
+    import jax
+
+    def f(evals_dev, prev, state, nr):
+        evals = [evals_dev[:, t] for t in range(degree + 1)]
+        if use_hint:
+            evals[1] = fd.fsub(spec, prev, evals[0])
+        coeffs = interpolate(spec, evals)
+        comp, rj, state, nr = fs_append_round(spec, coeffs, state, nr)
+        prev = horner(spec, coeffs, rj)
+        return comp, rj, prev, state, nr
+
+    return jax.jit(f)
+
+
+@_functools.lru_cache(maxsize=None)
+def fs_cubic_round_jit(spec: FieldSpec):
+    """Cubic (GKR) variant: evals at t = {0, 2, 3} + the previous-claim
+    hint for t = 1 (grand_product.rs:363-390's evaluation points)."""
+    import jax
+
+    def f(e023, prev, state, nr):                  # e023: [L, 3]
+        e0, e2, e3 = e023[:, 0], e023[:, 1], e023[:, 2]
+        e1 = fd.fsub(spec, prev, e0)
+        coeffs = interpolate(spec, [e0, e1, e2, e3])
+        comp, rj, state, nr = fs_append_round(spec, coeffs, state, nr)
+        prev = horner(spec, coeffs, rj)
+        return comp, rj, prev, state, nr
+
+    return jax.jit(f)
+
+
 def replay_and_check(spec: FieldSpec, comp_ints, transcript, state_dev,
                      make_cpoly):
     """Replay `comp_ints` [rounds, d] through the HOST transcript,

@@ -259,23 +259,6 @@ def _pair_bind_masked(spec: FieldSpec, l, r, eq, r_chal, h):
     return nl, nr, bind_lf(eq)
 
 
-def _gp_round_fs_masked(spec: FieldSpec, l, r, eq, coeffs_dev, prev, state,
-                        nr, h):
-    """ONE masked GKR round with the Fiat-Shamir transcript on device:
-    fixed shapes + traced h — a single compiled program covers every
-    (layer, round) of a GP instance."""
-    e023 = _pair_cubic_evals_masked(spec, l, r, eq, coeffs_dev, h)
-    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
-                                                     state, nr)
-    l, r, eq = _pair_bind_masked(spec, l, r, eq, rj, h)
-    return comp, l, r, eq, prev, state, nr
-
-
-@functools.lru_cache(maxsize=None)
-def _gp_round_fs_m_jit(spec: FieldSpec):
-    return jax.jit(partial(_gp_round_fs_masked, spec))
-
-
 _pair_cubic_evals_m_jit = jax.jit(_pair_cubic_evals_masked,
                                   static_argnums=0)
 _pair_bind_m_jit = jax.jit(_pair_bind_masked, static_argnums=0)
@@ -316,37 +299,6 @@ def _fs_transcript_round(spec: FieldSpec, e023, prev, state, nr):
     comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
     prev = fsd.horner(spec, coeffs, rj)
     return comp, rj, prev, state, nr
-
-
-def _gp_round_fs(spec: FieldSpec, l, r, eq, coeffs_dev, prev, state, nr):
-    """ONE GKR round with the Fiat-Shamir transcript on device.  Rounds
-    chain through device arrays only, so the host can enqueue a whole
-    layer of these without a single blocking sync."""
-    e023 = _pair_cubic_evals(spec, l, r, eq, coeffs_dev)
-    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
-                                                     state, nr)
-    l, r, eq = _pair_bind(spec, l, r, eq, rj)
-    return comp, l, r, eq, prev, state, nr
-
-
-@functools.lru_cache(maxsize=None)
-def _gp_round_fs_jit(spec: FieldSpec):
-    return jax.jit(partial(_gp_round_fs, spec))
-
-
-def _toggle_round_fs(spec: FieldSpec, flags, fps, eq, coeffs_dev, prev,
-                     state, nr):
-    """ONE toggle-layer round with the device Fiat-Shamir transcript."""
-    e023 = _toggle_cubic_evals(spec, flags, fps, eq, coeffs_dev)
-    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
-                                                     state, nr)
-    flags, fps, eq = _toggle_bind(spec, flags, fps, eq, rj)
-    return comp, flags, fps, eq, prev, state, nr
-
-
-@functools.lru_cache(maxsize=None)
-def _toggle_round_fs_jit(spec: FieldSpec):
-    return jax.jit(partial(_toggle_round_fs, spec))
 
 
 # ---------------------------------------------------------------------------
@@ -654,11 +606,14 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
             from . import fs_device as fsd
             state_dev, nr_dev = fsd.state_to_device(transcript)
             prev_dev = fd.scalar_to_device(spec, joint_claim.v)
+            fs_round = fsd.fs_cubic_round_jit(spec)
             comps = []
             for _ in range(dev_rounds):
-                comp, l, r, eq, prev_dev, state_dev, nr_dev = \
-                    _gp_round_fs_m_jit(spec)(l, r, eq, coeffs_dev, prev_dev,
-                                             state_dev, nr_dev, np.int32(h))
+                e023 = _pair_cubic_evals_m_jit(spec, l, r, eq, coeffs_dev,
+                                               np.int32(h))
+                comp, rj, prev_dev, state_dev, nr_dev = fs_round(
+                    e023, prev_dev, state_dev, nr_dev)
+                l, r, eq = _pair_bind_m_jit(spec, l, r, eq, rj, np.int32(h))
                 comps.append(comp)
                 h //= 2
             comp_ints = fd.device_to_ints(
@@ -684,6 +639,7 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
                                             np.int32(h))
                 previous_claim = round_poly.evaluate(r_j)
                 compressed.append(cpoly)
+                h //= 2
 
         if dev_rounds < num_rounds:
             # host tail: pull the bound layer once (active prefix only —
@@ -870,21 +826,6 @@ _toggle_cubic_evals_m_jit = jax.jit(_toggle_cubic_evals_masked,
 _toggle_bind_m_jit = jax.jit(_toggle_bind_masked, static_argnums=0)
 
 
-def _toggle_round_fs_masked(spec: FieldSpec, flags, fps, eq, coeffs_dev,
-                            prev, state, nr, h):
-    """ONE masked toggle round with the device Fiat-Shamir transcript."""
-    e023 = _toggle_cubic_evals_masked(spec, flags, fps, eq, coeffs_dev, h)
-    comp, rj, prev, state, nr = _fs_transcript_round(spec, e023, prev,
-                                                     state, nr)
-    flags, fps, eq = _toggle_bind_masked(spec, flags, fps, eq, rj, h)
-    return comp, flags, fps, eq, prev, state, nr
-
-
-@functools.lru_cache(maxsize=None)
-def _toggle_round_fs_m_jit(spec: FieldSpec):
-    return jax.jit(partial(_toggle_round_fs_masked, spec))
-
-
 def _host_toggle_cubic_evals(p: int, flags: list, fps: list, eq: list,
                              coeffs: list[int]):
     """Mirror of _toggle_cubic_evals on host ints: flags[m][s], fps[2m][s],
@@ -994,12 +935,15 @@ class ToggledBatchedGrandProduct:
             from . import fs_device as fsd
             state_dev, nr_dev = fsd.state_to_device(transcript)
             prev_dev = fd.scalar_to_device(spec, joint_claim.v)
+            fs_round = fsd.fs_cubic_round_jit(spec)
             comps = []
             for _ in range(dev_rounds):
-                comp, flags, fps, eq, prev_dev, state_dev, nr_dev = \
-                    _toggle_round_fs_m_jit(spec)(flags, fps, eq, coeffs_dev,
-                                                 prev_dev, state_dev, nr_dev,
-                                                 np.int32(h))
+                e023 = _toggle_cubic_evals_m_jit(spec, flags, fps, eq,
+                                                 coeffs_dev, np.int32(h))
+                comp, rj, prev_dev, state_dev, nr_dev = fs_round(
+                    e023, prev_dev, state_dev, nr_dev)
+                flags, fps, eq = _toggle_bind_m_jit(spec, flags, fps, eq,
+                                                    rj, np.int32(h))
                 comps.append(comp)
                 h //= 2
             comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))

@@ -322,36 +322,6 @@ _round_evals_bot_m_jit = jax.jit(_round_evals_bot_masked,
 _bind_all_bot_m_jit = jax.jit(_bind_all_bot_masked, static_argnums=0)
 
 
-# -- device-resident Fiat-Shamir rounds (one async dispatch per round) -------
-
-def _sc_round_fs(spec: FieldSpec, comb_func, degree: int, bot: bool,
-                 use_hint: bool, polys, prev, state, nr, h):
-    """One generic sumcheck round with the transcript on device
-    (fs_device.py).  `prev` is the running claim (used only when
-    use_hint — the bottom-binding provers' t=1 derivation).  Shapes are
-    FIXED; `h` is the traced active half-length, so every round of the
-    sumcheck reuses this one compiled program."""
-    from . import fs_device as fsd
-    ev_fn = _round_evals_bot_masked if bot else _round_evals_masked
-    evals_dev = ev_fn(spec, comb_func, degree, polys, h)   # [L, degree+1]
-    evals = [evals_dev[:, t] for t in range(degree + 1)]
-    if use_hint:
-        evals[1] = fd.fsub(spec, prev, evals[0])
-    coeffs = fsd.interpolate(spec, evals)
-    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
-    prev = fsd.horner(spec, coeffs, rj)
-    bind = _bind_all_bot_masked if bot else _bind_all_masked
-    polys = bind(spec, polys, rj, h)
-    return comp, polys, prev, state, nr
-
-
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _sc_round_fs_jit(spec, comb_func, degree, bot, use_hint, polys, prev,
-                     state, nr, h):
-    return _sc_round_fs(spec, comb_func, degree, bot, use_hint, polys,
-                        prev, state, nr, h)
-
-
 def _use_device_fs() -> bool:
     from .grand_product import _use_device_fs as f
     return f()
@@ -381,14 +351,17 @@ def _tail_device():
 
 def _maybe_tail(polys, tail_dev, moved: bool, h: int | None = None):
     """Move polys to the CPU backend once the ACTIVE size shrinks below
-    the tail threshold (tensors stay at full physical size under the
-    masked fixed-shape kernels, so the active length 2h is the signal)."""
+    the tail threshold.  The handoff SLICES each tensor down to its
+    active prefix 2h: tail rounds then run the per-shape kernels at tiny
+    sizes (cheap XLA:CPU compiles, and crucially no TPU Pallas calls —
+    which cannot execute on the CPU backend)."""
     if moved or tail_dev is None or not polys:
         return polys, moved
     from .grand_product import _tail_threshold
     active = 2 * h if h is not None else polys[0].shape[-1]
     if active <= _tail_threshold():
-        return tuple(jax.device_put(p, tail_dev) for p in polys), True
+        return tuple(jax.device_put(p[..., :active], tail_dev)
+                     for p in polys), True
     return polys, moved
 
 
@@ -414,11 +387,17 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
         state_dev, nr_dev = fsd.state_to_device(transcript)
         prev_dev = fd.scalar_to_device(spec, claim.v) if use_hint \
             else fd.zeros(spec, ())
+        # decomposed device-FS: masked evals -> shared FS round program ->
+        # masked bind (no host sync; no fused per-comb mega-program)
+        fs_round = fsd.fs_round_jit(spec, degree, use_hint)
+        ev_jit = _round_evals_bot_m_jit if bot else _round_evals_m_jit
+        bind_jit = _bind_all_bot_m_jit if bot else _bind_all_m_jit
         comps = []
         for _ in range(dev_rounds):
-            comp, polys, prev_dev, state_dev, nr_dev = _sc_round_fs_jit(
-                spec, comb_func, degree, bot, use_hint, polys, prev_dev,
-                state_dev, nr_dev, np.int32(h))
+            evals_dev = ev_jit(spec, comb_func, degree, polys, np.int32(h))
+            comp, rj, prev_dev, state_dev, nr_dev = fs_round(
+                evals_dev, prev_dev, state_dev, nr_dev)
+            polys = bind_jit(spec, polys, rj, np.int32(h))
             comps.append(comp)
             h //= 2
         comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
@@ -429,7 +408,10 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
         if use_hint:
             for cpoly, rj in zip(compressed, r):
                 previous_claim = cpoly.eval_from_hint(previous_claim, rj)
-        polys = tuple(jax.device_put(p, tail_dev) for p in polys)
+        # slice to the active prefix on handoff (tiny tensors on cpu, and
+        # below the Pallas batch threshold — see _maybe_tail)
+        polys = tuple(jax.device_put(p[..., :2 * h], tail_dev)
+                      for p in polys)
         ev_fn = _round_evals_bot_m_jit if bot else _round_evals_m_jit
         bind = _bind_all_bot_m_jit if bot else _bind_all_m_jit
         for _ in range(num_rounds - dev_rounds):

@@ -115,7 +115,7 @@ class BytecodePolynomials:
 
     def read_write_values(self):
         return ([self.a_read_write]
-                + [self.v_read_write[:, i] for i in range(6)]
+                + [fd.col(self.v_read_write, i) for i in range(6)]
                 + [self.t_read])
 
     def init_final_values(self):

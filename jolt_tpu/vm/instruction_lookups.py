@@ -116,16 +116,16 @@ class InstructionLookupPolynomials:
 
     def read_write_values(self) -> list[jnp.ndarray]:
         """Canonical ordering: dim ‖ read_cts ‖ E ‖ flags ‖ outputs."""
-        out = [self.dim[:, i] for i in range(self.dim.shape[1])]
-        out += [self.read_cts[:, i] for i in range(self.read_cts.shape[1])]
-        out += [self.E_polys[:, i] for i in range(self.E_polys.shape[1])]
-        out += [self.instruction_flags[:, i]
+        out = [fd.col(self.dim, i) for i in range(self.dim.shape[1])]
+        out += [fd.col(self.read_cts, i) for i in range(self.read_cts.shape[1])]
+        out += [fd.col(self.E_polys, i) for i in range(self.E_polys.shape[1])]
+        out += [fd.col(self.instruction_flags, i)
                 for i in range(self.instruction_flags.shape[1])]
         out.append(self.lookup_outputs)
         return out
 
     def init_final_values(self) -> list[jnp.ndarray]:
-        return [self.final_cts[:, i] for i in range(self.final_cts.shape[1])]
+        return [fd.col(self.final_cts, i) for i in range(self.final_cts.shape[1])]
 
 
 def generate_witness(pre: InstructionLookupsPreprocessing,
@@ -309,26 +309,6 @@ _primary_round_evals_m_jit = jax.jit(_primary_round_evals_masked,
 _primary_bind_m_jit = jax.jit(_primary_bind_masked, static_argnums=0)
 
 
-def _il_round_fs(spec: FieldSpec, meta, degree: int, eq_b, out_b, f_b, e_b,
-                 state, nr, h):
-    """One primary-sumcheck round with the Fiat-Shamir transcript on
-    device (subprotocols/fs_device.py); masked fixed shapes + traced h."""
-    from ..subprotocols import fs_device as fsd
-    evals_dev = _primary_round_evals_masked(spec, meta, degree, eq_b, out_b,
-                                            f_b, e_b, h)
-    evals = [evals_dev[:, t] for t in range(degree + 1)]
-    coeffs = fsd.interpolate(spec, evals)
-    comp, rj, state, nr = fsd.fs_append_round(spec, coeffs, state, nr)
-    eq_b, out_b, f_b, e_b = _primary_bind_masked(spec, eq_b, out_b, f_b,
-                                                 e_b, rj, h)
-    return comp, eq_b, out_b, f_b, e_b, state, nr
-
-
-@functools.lru_cache(maxsize=None)
-def _il_round_fs_jit(spec: FieldSpec, meta, degree: int):
-    return jax.jit(partial(_il_round_fs, spec, meta, degree))
-
-
 # ---------------------------------------------------------------------------
 # leaves kernels (memory checking)
 # ---------------------------------------------------------------------------
@@ -465,11 +445,21 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
         from ..subprotocols import fs_device as fsd
         import numpy as np
         state_dev, nr_dev = fsd.state_to_device(transcript)
+        # decomposed device-FS: masked evals -> shared FS round program ->
+        # masked bind, chained through device arrays (no host sync).  The
+        # FUSED per-protocol program was an hour-scale fresh compile for
+        # the full 29-instruction combine graph + keccak (docs/PERF.md).
+        fs_round = fsd.fs_round_jit(spec, degree, False)
+        prev_dev = fd.zeros(spec, ())
         comps = []
         for _ in range(dev_rounds):
-            comp, eq_b, out_b, f_b, e_b, state_dev, nr_dev = \
-                _il_round_fs_jit(spec, meta, degree)(
-                    eq_b, out_b, f_b, e_b, state_dev, nr_dev, np.int32(h))
+            evals_dev = _primary_round_evals_m_jit(spec, meta, degree, eq_b,
+                                                   out_b, f_b, e_b,
+                                                   np.int32(h))
+            comp, rj, prev_dev, state_dev, nr_dev = fs_round(
+                evals_dev, prev_dev, state_dev, nr_dev)
+            eq_b, out_b, f_b, e_b = _primary_bind_m_jit(
+                spec, eq_b, out_b, f_b, e_b, rj, np.int32(h))
             comps.append(comp)
             h //= 2
         comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
@@ -483,8 +473,11 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
         moved = False
         for j in range(num_rounds - dev_fs_done):
             if not moved and tail_dev is not None and 2 * h <= tail:
+                # slice to the active prefix on handoff: tail rounds run
+                # at tiny sizes on the cpu backend (and below the Pallas
+                # batch threshold)
                 eq_b, out_b, f_b, e_b = (
-                    jax.device_put(t, tail_dev)
+                    jax.device_put(t[..., :2 * h], tail_dev)
                     for t in (eq_b, out_b, f_b, e_b))
                 moved = True
             evals_dev = _primary_round_evals_m_jit(spec, meta, degree, eq_b,
@@ -513,8 +506,8 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
 
     openings = PrimarySumcheckOpenings(E_evals, flag_evals, outputs_eval)
     # opening accumulation for E ‖ flags ‖ outputs (ACTIVE in the fork)
-    primary_polys = ([polys.E_polys[:, i] for i in range(pre.num_memories)]
-                     + [polys.instruction_flags[:, i]
+    primary_polys = ([fd.col(polys.E_polys, i) for i in range(pre.num_memories)]
+                     + [fd.col(polys.instruction_flags, i)
                         for i in range(pre.num_instructions)]
                      + [polys.lookup_outputs])
     primary_openings = E_evals + flag_evals + [outputs_eval]

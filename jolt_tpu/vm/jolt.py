@@ -127,19 +127,19 @@ class JoltVM:
                          ) -> list:
         C = self.C
         out = [bc_polys.a_read_write]
-        out += [bc_polys.v_read_write[:, i] for i in range(6)]
+        out += [fd.col(bc_polys.v_read_write, i) for i in range(6)]
         out += [rwm_polys.a_ram]
-        out += [rwm_polys.v_read[:, i] for i in range(3)]
-        out += [rwm_polys.v_read[:, 3 + i] for i in range(4)]
+        out += [fd.col(rwm_polys.v_read, i) for i in range(3)]
+        out += [fd.col(rwm_polys.v_read, 3 + i) for i in range(4)]
         out += [rwm_polys.v_write_rd]
-        out += [rwm_polys.v_write_ram[:, i] for i in range(4)]
-        out += [il_polys.dim[:, i] for i in range(C)]
+        out += [fd.col(rwm_polys.v_write_ram, i) for i in range(4)]
+        out += [fd.col(il_polys.dim, i) for i in range(C)]
         out += [il_polys.lookup_outputs]
-        out += [r1cs_polys["chunks_x"][:, i] for i in range(C)]
-        out += [r1cs_polys["chunks_y"][:, i] for i in range(C)]
-        out += [r1cs_polys["circuit_flags"][:, i]
+        out += [fd.col(r1cs_polys["chunks_x"], i) for i in range(C)]
+        out += [fd.col(r1cs_polys["chunks_y"], i) for i in range(C)]
+        out += [fd.col(r1cs_polys["circuit_flags"], i)
                 for i in range(NUM_CIRCUIT_FLAGS)]
-        out += [il_polys.instruction_flags[:, i]
+        out += [fd.col(il_polys.instruction_flags, i)
                 for i in range(len(self.instruction_classes))]
         out += [None] * (len(self.layout) - len(out))  # aux, filled later
         return out
@@ -227,9 +227,9 @@ class JoltVM:
                     + rwm_polys.read_write_values()
                     + il_polys.read_write_values()
                     + ts_polys.read_write_values()
-                    + [r1cs_polys["chunks_x"][:, i] for i in range(self.C)]
-                    + [r1cs_polys["chunks_y"][:, i] for i in range(self.C)]
-                    + [r1cs_polys["circuit_flags"][:, i]
+                    + [fd.col(r1cs_polys["chunks_x"], i) for i in range(self.C)]
+                    + [fd.col(r1cs_polys["chunks_y"], i) for i in range(self.C)]
+                    + [fd.col(r1cs_polys["circuit_flags"], i)
                        for i in range(NUM_CIRCUIT_FLAGS)]
                     + [flattened[i] for i in range(len(self.layout))
                        if self.layout[i].startswith("aux_")])

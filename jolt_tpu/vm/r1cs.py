@@ -703,12 +703,20 @@ def spartan_prove(builder: R1CSBuilder,
     poly_abc_host = key.evaluate_r1cs_mle_rlc(rx_con, rx_ts, r_rlc)
     poly_abc = fd.ints_to_device(spec, [v.v for v in poly_abc_host])
 
-    # materialize Z: [vars (var-major) ‖ pad ‖ 1 ‖ 0...]
+    # materialize Z: [vars (var-major) ‖ pad ‖ 1 ‖ 0...] — ONE concatenate
+    # (a per-var .at[].set loop compiles a distinct XLA program per
+    # variable offset: ~90 programs x ~0.5 s of per-process load)
     half = key.num_cols_total() // 2
-    z = fd.zeros(spec, (key.num_cols_total(),))
-    for var, p in enumerate(polys):
-        z = z.at[:, var * T:(var + 1) * T].set(p)
-    z = z.at[:, half].set(fd.ones(spec, (1,))[:, 0])
+    Lx = fd.L
+    parts = list(polys)
+    pad1 = half - len(polys) * T
+    if pad1:
+        parts.append(jnp.zeros((Lx, pad1), jnp.uint32))
+    parts.append(fd.ones(spec, (1,)))
+    pad2 = key.num_cols_total() - half - 1
+    if pad2:
+        parts.append(jnp.zeros((Lx, pad2), jnp.uint32))
+    z = jnp.concatenate(parts, axis=-1)
 
     inner_polys = (poly_abc, z)
     if mesh is not None:

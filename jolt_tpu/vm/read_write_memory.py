@@ -68,11 +68,11 @@ class ReadWriteMemoryPolynomials:
 
     def read_write_values(self):
         out = [self.a_ram]
-        out += [self.v_read[:, i] for i in range(7)]
+        out += [fd.col(self.v_read, i) for i in range(7)]
         out.append(self.v_write_rd)
-        out += [self.v_write_ram[:, i] for i in range(4)]
-        out += [self.t_read[:, i] for i in range(7)]
-        out += [self.t_write_ram[:, i] for i in range(4)]
+        out += [fd.col(self.v_write_ram, i) for i in range(4)]
+        out += [fd.col(self.t_read, i) for i in range(7)]
+        out += [fd.col(self.t_write_ram, i) for i in range(4)]
         return out
 
     def init_final_values(self):

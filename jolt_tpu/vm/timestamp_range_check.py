@@ -42,10 +42,10 @@ class TimestampRangeCheckPolynomials:
     final_cts_global_minus_read: jnp.ndarray   # [L, 7, T]
 
     def read_write_values(self):
-        return ([self.read_cts_read_timestamp[:, i] for i in range(NUM_CH)]
-                + [self.read_cts_global_minus_read[:, i] for i in range(NUM_CH)]
-                + [self.final_cts_read_timestamp[:, i] for i in range(NUM_CH)]
-                + [self.final_cts_global_minus_read[:, i] for i in range(NUM_CH)])
+        return ([fd.col(self.read_cts_read_timestamp, i) for i in range(NUM_CH)]
+                + [fd.col(self.read_cts_global_minus_read, i) for i in range(NUM_CH)]
+                + [fd.col(self.final_cts_read_timestamp, i) for i in range(NUM_CH)]
+                + [fd.col(self.final_cts_global_minus_read, i) for i in range(NUM_CH)])
 
 
 def generate_witness(read_timestamps: np.ndarray,
@@ -164,7 +164,7 @@ def prove_timestamp_validity(ts_polys: TimestampRangeCheckPolynomials,
     eq_r = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v)
                                       for v in r_grand_product])
     rw_polys_list = ts_polys.read_write_values()
-    t_read_list = [rwm_polys.t_read[:, i] for i in range(NUM_CH)]
+    t_read_list = [fd.col(rwm_polys.t_read, i) for i in range(NUM_CH)]
     all_polys = rw_polys_list + t_read_list
     openings = [FElt(fd.to_int(spec, mle.evaluate_device(spec, p, eq_r)), spec)
                 for p in all_polys]

@@ -89,3 +89,56 @@ def test_device_fiat_shamir_layer_parity(monkeypatch):
             assert [c.v for c in pd.coeffs_except_linear_term] == \
                 [c.v for c in ph.coeffs_except_linear_term]
     verify_grand_product(proof_dev, claims, Transcript(b"gp"))
+
+
+def test_masked_device_rounds_transcript_parity(monkeypatch):
+    """host_tail=0 forces every layer through the masked fixed-shape
+    DEVICE round kernels (padded to the GP's canonical size, traced h);
+    transcript must match the host-tail prover byte-for-byte.  Regression:
+    a missing h-halving in the non-FS masked loop shipped past the default
+    suite because host tails ate every small layer."""
+    spec = fr_spec()
+    B, n = 3, 32
+    leaves_ints = [[RNG.randrange(spec.p) for _ in range(n)]
+                   for _ in range(B)]
+    leaves = fd.ints_to_device(spec, leaves_ints)
+
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "0")
+    monkeypatch.setenv("JOLT_TPU_HOST_TAIL", "0")
+    gp = BatchedDenseGrandProduct.construct(leaves, spec)
+    claims = gp.claims()
+    t_dev = Transcript(b"gpm")
+    proof_dev, _ = gp.prove(t_dev)
+    verify_grand_product(proof_dev, claims, Transcript(b"gpm"))
+
+    monkeypatch.delenv("JOLT_TPU_HOST_TAIL")
+    gp2 = BatchedDenseGrandProduct.construct(leaves, spec)
+    t_host = Transcript(b"gpm")
+    gp2.prove(t_host)
+    assert t_dev.state_history == t_host.state_history, \
+        "masked device rounds diverge from the host-tail prover"
+
+
+def test_masked_device_fs_rounds_transcript_parity(monkeypatch):
+    """Same as above with the device Fiat-Shamir chain enabled (the
+    production TPU path: fs_cubic_round_jit + masked evals/bind)."""
+    spec = fr_spec()
+    B, n = 2, 16
+    leaves_ints = [[RNG.randrange(spec.p) for _ in range(n)]
+                   for _ in range(B)]
+    leaves = fd.ints_to_device(spec, leaves_ints)
+
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "1")
+    monkeypatch.setenv("JOLT_TPU_HOST_TAIL", "0")
+    gp = BatchedDenseGrandProduct.construct(leaves, spec)
+    claims = gp.claims()
+    t_dev = Transcript(b"gpf")
+    proof_dev, _ = gp.prove(t_dev)
+    verify_grand_product(proof_dev, claims, Transcript(b"gpf"))
+
+    monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "0")
+    monkeypatch.delenv("JOLT_TPU_HOST_TAIL")
+    gp2 = BatchedDenseGrandProduct.construct(leaves, spec)
+    t_host = Transcript(b"gpf")
+    gp2.prove(t_host)
+    assert t_dev.state_history == t_host.state_history
