@@ -73,6 +73,23 @@ def _use_device_fs() -> bool:
     return fd._pallas_backend()
 
 
+def _use_masked_rounds() -> bool:
+    """Fixed-shape masked round kernels (one compiled program per protocol
+    instance): ON for TPU backends, where per-process program setup
+    through the tunnel dominates and execution is ~free.  OFF on CPU —
+    masked rounds run every round at FULL padded size, ~log2(n)/2 x more
+    FLOPs than the shrinking kernels, which costs real minutes of 1-core
+    execution for M-sized GPs (while XLA:CPU per-shape compiles are cheap
+    and disk-cached).  Transcripts are bit-identical either way;
+    JOLT_TPU_MASKED=1/0 overrides (parity tests force the masked path on
+    CPU)."""
+    import os
+    v = os.environ.get("JOLT_TPU_MASKED")
+    if v is not None:
+        return v not in ("0", "")
+    return fd._pallas_backend()
+
+
 @partial(jax.jit, static_argnums=0)
 def _tree_level(spec: FieldSpec, layer: jnp.ndarray) -> jnp.ndarray:
     """One product-tree level over an INTERLEAVED [L, B, n] layer:
@@ -587,33 +604,46 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
         while dev_rounds < num_rounds and (_s >> dev_rounds) > tail:
             dev_rounds += 1
 
-        # Canonical fixed shapes: pad this layer's tensors up to the GP's
-        # largest device-layer size; the masked round kernels take the
-        # active pair count h as a TRACED scalar, so ONE compiled program
-        # serves every (layer, round) of this GP instance.
-        if s_canon is not None and _s < s_canon:
-            l = _pad_last(spec, l, s_canon)
-            r = _pad_last(spec, r, s_canon)
-        if s_canon is not None and eq.shape[-1] < s_canon:
-            eq = _pad_last(spec, eq, s_canon)
+        # Canonical fixed shapes (TPU): pad this layer's tensors up to the
+        # GP's largest device-layer size; the masked round kernels take
+        # the active pair count h as a TRACED scalar, so ONE compiled
+        # program serves every (layer, round) of this GP instance.  On
+        # CPU the per-shape SHRINKING kernels run instead (_use_masked_
+        # rounds) — transcripts identical.
+        masked = _use_masked_rounds()
+        if masked and s_canon is not None:
+            if _s < s_canon:
+                l = _pad_last(spec, l, s_canon)
+                r = _pad_last(spec, r, s_canon)
+            if eq.shape[-1] < s_canon:
+                eq = _pad_last(spec, eq, s_canon)
         h = _s // 2
+        if masked:
+            evals_fn = lambda l_, r_, eq_, h_: _pair_cubic_evals_m_jit(
+                spec, l_, r_, eq_, coeffs_dev, np.int32(h_))
+            bind_fn = lambda l_, r_, eq_, rj, h_: _pair_bind_m_jit(
+                spec, l_, r_, eq_, rj, np.int32(h_))
+        else:
+            evals_fn = lambda l_, r_, eq_, h_: _pair_cubic_evals(
+                spec, l_, r_, eq_, coeffs_dev)
+            bind_fn = lambda l_, r_, eq_, rj, h_: _pair_bind(
+                spec, l_, r_, eq_, rj)
 
         previous_claim = joint_claim
         if dev_rounds > 0 and _use_device_fs():
-            # device Fiat-Shamir: the whole layer in ONE dispatch, then a
-            # host replay of the transcript (also validates the device
-            # keccak chain bit-for-bit)
+            # device Fiat-Shamir: rounds chain through device arrays with
+            # no host sync; a host replay of the transcript at the end
+            # also validates the device keccak chain bit-for-bit
             from . import fs_device as fsd
             state_dev, nr_dev = fsd.state_to_device(transcript)
             prev_dev = fd.scalar_to_device(spec, joint_claim.v)
             fs_round = fsd.fs_cubic_round_jit(spec)
             comps = []
             for _ in range(dev_rounds):
-                e023 = _pair_cubic_evals_m_jit(spec, l, r, eq, coeffs_dev,
-                                               np.int32(h))
+                e023 = evals_fn(l, r, eq, h)
                 comp, rj, prev_dev, state_dev, nr_dev = fs_round(
                     e023, prev_dev, state_dev, nr_dev)
-                l, r, eq = _pair_bind_m_jit(spec, l, r, eq, rj, np.int32(h))
+                l, r, eq = bind_fn(l, r, eq, rj, h)
                 comps.append(comp)
                 h //= 2
             comp_ints = fd.device_to_ints(
@@ -624,8 +654,7 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
                 previous_claim = cpoly.eval_from_hint(previous_claim, r_j)
         else:
             for _ in range(dev_rounds):
-                e023 = _pair_cubic_evals_m_jit(spec, l, r, eq, coeffs_dev,
-                                               np.int32(h))
+                e023 = evals_fn(l, r, eq, h)
                 ints = fd.device_to_ints(spec, e023).tolist()
                 e0, e2, e3 = (FElt(int(v), spec) for v in ints)
                 round_poly = UniPoly.from_evals(
@@ -634,9 +663,8 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
                 cpoly.append_to_transcript(transcript)
                 r_j = transcript.challenge_scalar()
                 r_sumcheck.append(r_j)
-                l, r, eq = _pair_bind_m_jit(spec, l, r, eq,
-                                            fd.scalar_to_device(spec, r_j.v),
-                                            np.int32(h))
+                l, r, eq = bind_fn(l, r, eq,
+                                   fd.scalar_to_device(spec, r_j.v), h)
                 previous_claim = round_poly.evaluate(r_j)
                 compressed.append(cpoly)
                 h //= 2
@@ -931,6 +959,16 @@ class ToggledBatchedGrandProduct:
             dev_rounds += 1
         previous_claim = joint_claim
         h = size // 2
+        if _use_masked_rounds():
+            evals_fn = lambda f_, p_, e_, h_: _toggle_cubic_evals_m_jit(
+                spec, f_, p_, e_, coeffs_dev, np.int32(h_))
+            bind_fn = lambda f_, p_, e_, rj, h_: _toggle_bind_m_jit(
+                spec, f_, p_, e_, rj, np.int32(h_))
+        else:
+            evals_fn = lambda f_, p_, e_, h_: _toggle_cubic_evals(
+                spec, f_, p_, e_, coeffs_dev)
+            bind_fn = lambda f_, p_, e_, rj, h_: _toggle_bind(
+                spec, f_, p_, e_, rj)
         if dev_rounds > 0 and _use_device_fs():
             from . import fs_device as fsd
             state_dev, nr_dev = fsd.state_to_device(transcript)
@@ -938,12 +976,10 @@ class ToggledBatchedGrandProduct:
             fs_round = fsd.fs_cubic_round_jit(spec)
             comps = []
             for _ in range(dev_rounds):
-                e023 = _toggle_cubic_evals_m_jit(spec, flags, fps, eq,
-                                                 coeffs_dev, np.int32(h))
+                e023 = evals_fn(flags, fps, eq, h)
                 comp, rj, prev_dev, state_dev, nr_dev = fs_round(
                     e023, prev_dev, state_dev, nr_dev)
-                flags, fps, eq = _toggle_bind_m_jit(spec, flags, fps, eq,
-                                                    rj, np.int32(h))
+                flags, fps, eq = bind_fn(flags, fps, eq, rj, h)
                 comps.append(comp)
                 h //= 2
             comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
@@ -953,8 +989,7 @@ class ToggledBatchedGrandProduct:
                 previous_claim = cpoly.eval_from_hint(previous_claim, r_j)
         else:
             for _ in range(dev_rounds):
-                e023 = _toggle_cubic_evals_m_jit(spec, flags, fps, eq,
-                                                 coeffs_dev, np.int32(h))
+                e023 = evals_fn(flags, fps, eq, h)
                 ints = fd.device_to_ints(spec, e023).tolist()
                 e0, e2, e3 = (FElt(int(v), spec) for v in ints)
                 round_poly = UniPoly.from_evals(
@@ -963,9 +998,8 @@ class ToggledBatchedGrandProduct:
                 cpoly.append_to_transcript(transcript)
                 r_j = transcript.challenge_scalar()
                 r_sumcheck.append(r_j)
-                flags, fps, eq = _toggle_bind_m_jit(
-                    spec, flags, fps, eq, fd.scalar_to_device(spec, r_j.v),
-                    np.int32(h))
+                flags, fps, eq = bind_fn(flags, fps, eq,
+                                         fd.scalar_to_device(spec, r_j.v), h)
                 previous_claim = round_poly.evaluate(r_j)
                 compressed.append(cpoly)
                 h //= 2

@@ -124,10 +124,10 @@ def prove_arbitrary(num_rounds: int,
         compressed: list[CompressedUniPoly] = []
         tail_dev, moved = _tail_device(), False
         h = polys[0].shape[-1] // 2
+        ev_fn, bind_fn = _round_fns(bot=False)
         for _ in range(num_rounds):
             polys, moved = _maybe_tail(polys, tail_dev, moved, h)
-            evals_dev = _round_evals_m_jit(spec, comb_func, degree, polys,
-                                           np.int32(h))
+            evals_dev = ev_fn(spec, comb_func, degree, polys, h)
             evals = _device_scalars_to_felts(spec, evals_dev)
             round_poly = UniPoly.from_evals(evals)
             cpoly = round_poly.compress()
@@ -137,7 +137,7 @@ def prove_arbitrary(num_rounds: int,
             rv = fd.scalar_to_device(spec, r_j.v)
             if moved:
                 rv = jax.device_put(rv, tail_dev)
-            polys = _bind_all_m_jit(spec, polys, rv, np.int32(h))
+            polys = bind_fn(spec, polys, rv, h)
             compressed.append(cpoly)
             h //= 2
         final_evals = [
@@ -195,10 +195,10 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
     previous_claim = claim
     tail_dev, moved = _tail_device(), False
     h = polys[0].shape[-1] // 2
+    ev_fn, bind_fn = _round_fns(bot=True)
     for _ in range(num_rounds):
         polys, moved = _maybe_tail(polys, tail_dev, moved, h)
-        evals_dev = _round_evals_bot_m_jit(spec, comb_func, degree, polys,
-                                           np.int32(h))
+        evals_dev = ev_fn(spec, comb_func, degree, polys, h)
         evals = _device_scalars_to_felts(spec, evals_dev)
         if previous_claim is not None:
             evals[1] = previous_claim - evals[0]
@@ -210,7 +210,7 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
         rv = fd.scalar_to_device(spec, r_j.v)
         if moved:
             rv = jax.device_put(rv, tail_dev)
-        polys = _bind_all_bot_m_jit(spec, polys, rv, np.int32(h))
+        polys = bind_fn(spec, polys, rv, h)
         if previous_claim is not None:
             previous_claim = round_poly.evaluate(r_j)
         compressed.append(cpoly)
@@ -322,6 +322,31 @@ _round_evals_bot_m_jit = jax.jit(_round_evals_bot_masked,
 _bind_all_bot_m_jit = jax.jit(_bind_all_bot_masked, static_argnums=0)
 
 
+def _round_fns(bot: bool):
+    """(evals_fn, bind_fn) with a unified (…, h) signature: the masked
+    fixed-shape kernels on TPU, the per-shape shrinking kernels on CPU
+    (grand_product._use_masked_rounds — transcript-identical)."""
+    from .grand_product import _use_masked_rounds
+    if _use_masked_rounds():
+        if bot:
+            return (lambda spec, comb, deg, polys, h:
+                    _round_evals_bot_m_jit(spec, comb, deg, polys,
+                                           np.int32(h)),
+                    lambda spec, polys, rv, h:
+                    _bind_all_bot_m_jit(spec, polys, rv, np.int32(h)))
+        return (lambda spec, comb, deg, polys, h:
+                _round_evals_m_jit(spec, comb, deg, polys, np.int32(h)),
+                lambda spec, polys, rv, h:
+                _bind_all_m_jit(spec, polys, rv, np.int32(h)))
+    if bot:
+        return (lambda spec, comb, deg, polys, h:
+                _round_evals_bot(spec, comb, deg, polys),
+                lambda spec, polys, rv, h: _bind_all_bot(spec, polys, rv))
+    return (lambda spec, comb, deg, polys, h:
+            _round_evals(spec, comb, deg, polys),
+            lambda spec, polys, rv, h: _bind_all(spec, polys, rv))
+
+
 def _use_device_fs() -> bool:
     from .grand_product import _use_device_fs as f
     return f()
@@ -387,17 +412,16 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
         state_dev, nr_dev = fsd.state_to_device(transcript)
         prev_dev = fd.scalar_to_device(spec, claim.v) if use_hint \
             else fd.zeros(spec, ())
-        # decomposed device-FS: masked evals -> shared FS round program ->
-        # masked bind (no host sync; no fused per-comb mega-program)
+        # decomposed device-FS: evals -> shared FS round program -> bind
+        # (no host sync; no fused per-comb mega-program)
         fs_round = fsd.fs_round_jit(spec, degree, use_hint)
-        ev_jit = _round_evals_bot_m_jit if bot else _round_evals_m_jit
-        bind_jit = _bind_all_bot_m_jit if bot else _bind_all_m_jit
+        ev_fn, bind_fn = _round_fns(bot)
         comps = []
         for _ in range(dev_rounds):
-            evals_dev = ev_jit(spec, comb_func, degree, polys, np.int32(h))
+            evals_dev = ev_fn(spec, comb_func, degree, polys, h)
             comp, rj, prev_dev, state_dev, nr_dev = fs_round(
                 evals_dev, prev_dev, state_dev, nr_dev)
-            polys = bind_jit(spec, polys, rj, np.int32(h))
+            polys = bind_fn(spec, polys, rj, h)
             comps.append(comp)
             h //= 2
         comp_ints = fd.device_to_ints(spec, jnp.stack(comps, axis=1))
@@ -409,14 +433,15 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
             for cpoly, rj in zip(compressed, r):
                 previous_claim = cpoly.eval_from_hint(previous_claim, rj)
         # slice to the active prefix on handoff (tiny tensors on cpu, and
-        # below the Pallas batch threshold — see _maybe_tail)
+        # below the Pallas batch threshold — see _maybe_tail); tail rounds
+        # use the per-shape shrinking kernels (XLA:CPU compiles are cheap)
         polys = tuple(jax.device_put(p[..., :2 * h], tail_dev)
                       for p in polys)
-        ev_fn = _round_evals_bot_m_jit if bot else _round_evals_m_jit
-        bind = _bind_all_bot_m_jit if bot else _bind_all_m_jit
+        ev_fn = _round_evals_bot if bot else _round_evals
+        bind = _bind_all_bot if bot else _bind_all
         for _ in range(num_rounds - dev_rounds):
             evals = _device_scalars_to_felts(
-                spec, ev_fn(spec, comb_func, degree, polys, np.int32(h)))
+                spec, ev_fn(spec, comb_func, degree, polys))
             if use_hint:
                 evals[1] = previous_claim - evals[0]
             round_poly = UniPoly.from_evals(evals)
@@ -425,7 +450,7 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
             r_j = transcript.challenge_scalar()
             r.append(r_j)
             rv = jax.device_put(fd.scalar_to_device(spec, r_j.v), tail_dev)
-            polys = bind(spec, polys, rv, np.int32(h))
+            polys = bind(spec, polys, rv)
             if use_hint:
                 previous_claim = round_poly.evaluate(r_j)
             compressed.append(cpoly)

@@ -192,97 +192,10 @@ def generate_witness(pre: InstructionLookupsPreprocessing,
 # primary sumcheck kernel
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _primary_round_evals(spec: FieldSpec, meta, degree: int, eq: jnp.ndarray,
-                         outputs: jnp.ndarray, flags: jnp.ndarray,
-                         E: jnp.ndarray) -> jnp.ndarray:
-    """Round-poly evals at t = 0..degree of
-    sum_x eq * (sum_i flag_i * g_i(E) - out); top-variable split."""
-    instr_classes, instr_mems, C, M = meta
-    n = eq.shape[-1]
-    half = n // 2
-
-    def split(t):
-        return t[..., :half], t[..., half:]
-
-    eq_lo, eq_hi = split(eq)
-    out_lo, out_hi = split(outputs)
-    f_lo, f_hi = split(flags)
-    e_lo, e_hi = split(E)
-    d_eq = fd.fsub(spec, eq_hi, eq_lo)
-    d_out = fd.fsub(spec, out_hi, out_lo)
-    d_f = fd.fsub(spec, f_hi, f_lo)
-    d_e = fd.fsub(spec, e_hi, e_lo)
-
-    evals = []
-    eq_t, out_t, f_t, e_t = eq_lo, out_lo, f_lo, e_lo
-    for t in range(degree + 1):
-        if t == 1:
-            eq_t, out_t, f_t, e_t = eq_hi, out_hi, f_hi, e_hi
-        elif t >= 2:
-            eq_t = fd.fadd(spec, eq_t, d_eq)
-            out_t = fd.fadd(spec, out_t, d_out)
-            f_t = fd.fadd(spec, f_t, d_f)
-            e_t = fd.fadd(spec, e_t, d_e)
-        inner = None
-        for k, cls in enumerate(instr_classes):
-            vals = [DevF(e_t[:, mi], spec) for mi in instr_mems[k]]
-            g = cls().combine_lookups(vals, C, M)
-            term = fd.fmul(spec, f_t[:, k], g.limbs)
-            inner = term if inner is None else fd.fadd(spec, inner, term)
-        total = fd.fmul(spec, eq_t, fd.fsub(spec, inner, out_t))
-        evals.append(fd.fsum(spec, total, axis=-1))
-    return jnp.stack(evals, axis=1)
-
-
 @partial(jax.jit, static_argnums=0)
 def _primary_bind(spec: FieldSpec, eq, outputs, flags, E, r):
     return (mle.bind_top(spec, eq, r), mle.bind_top(spec, outputs, r),
             mle.bind_top(spec, flags, r), mle.bind_top(spec, E, r))
-
-
-def _primary_round_evals_masked(spec: FieldSpec, meta, degree: int, eq, outputs,
-                                flags, E, h) -> jnp.ndarray:
-    """Masked fixed-shape variant: tensors stay [.., T], active pairs are
-    (i, i+h) with h TRACED — one compiled program serves every round
-    (see subprotocols/grand_product.py masked-kernel comment).  Only the
-    eq factor needs masking: total = eq * (...) kills dead lanes."""
-    instr_classes, instr_mems, C, M = meta
-    H = eq.shape[-1] // 2
-
-    def split(t):
-        return t[..., :H], jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
-
-    eq_lo, eq_hi = split(eq)
-    out_lo, out_hi = split(outputs)
-    f_lo, f_hi = split(flags)
-    e_lo, e_hi = split(E)
-    mask = jnp.arange(H, dtype=jnp.int32) < h
-    d_eq = fd.fsub(spec, eq_hi, eq_lo)
-    d_out = fd.fsub(spec, out_hi, out_lo)
-    d_f = fd.fsub(spec, f_hi, f_lo)
-    d_e = fd.fsub(spec, e_hi, e_lo)
-
-    evals = []
-    eq_t, out_t, f_t, e_t = eq_lo, out_lo, f_lo, e_lo
-    for t in range(degree + 1):
-        if t == 1:
-            eq_t, out_t, f_t, e_t = eq_hi, out_hi, f_hi, e_hi
-        elif t >= 2:
-            eq_t = fd.fadd(spec, eq_t, d_eq)
-            out_t = fd.fadd(spec, out_t, d_out)
-            f_t = fd.fadd(spec, f_t, d_f)
-            e_t = fd.fadd(spec, e_t, d_e)
-        inner = None
-        for k, cls in enumerate(instr_classes):
-            vals = [DevF(e_t[:, mi], spec) for mi in instr_mems[k]]
-            g = cls().combine_lookups(vals, C, M)
-            term = fd.fmul(spec, f_t[:, k], g.limbs)
-            inner = term if inner is None else fd.fadd(spec, inner, term)
-        total = fd.fmul(spec, jnp.where(mask, eq_t, jnp.uint32(0)),
-                        fd.fsub(spec, inner, out_t))
-        evals.append(fd.fsum(spec, total, axis=-1))
-    return jnp.stack(evals, axis=1)
 
 
 def _primary_bind_masked(spec: FieldSpec, eq, outputs, flags, E, r, h):
@@ -304,9 +217,91 @@ def _primary_bind_masked(spec: FieldSpec, eq, outputs, flags, E, r, h):
     return bb(eq), bb(outputs), bb(flags), bb(E)
 
 
-_primary_round_evals_m_jit = jax.jit(_primary_round_evals_masked,
-                                     static_argnums=(0, 1, 2))
 _primary_bind_m_jit = jax.jit(_primary_bind_masked, static_argnums=0)
+
+
+# -- decomposed primary evals ------------------------------------------------
+#
+# One monolithic evals program unrolls the full instruction-combine graph
+# (degree+1) times: for the 29-instruction RV32I zoo that single XLA
+# program took tens of minutes to compile through the tunnel.  The round
+# is instead driven as ~30 SMALL programs — a split, one g-term program
+# per instruction CLASS (reused by every evaluation point and round), an
+# extrapolation step, and a masked finisher — chained eagerly on device
+# (still no host sync on the FS path; dispatches pipeline).
+
+@functools.lru_cache(maxsize=None)
+def _primary_split_jit(spec: FieldSpec):
+    @jax.jit
+    def f(eq, out, fl, e, h):
+        outs = []
+        for t in (eq, out, fl, e):
+            H = t.shape[-1] // 2
+            lo = t[..., :H]
+            hi = jax.lax.dynamic_slice_in_dim(t, h, H, axis=-1)
+            outs += [lo, hi, fd.fsub(spec, hi, lo)]
+        return tuple(outs)                # (lo, hi, d) x (eq, out, f, e)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _primary_ext_jit(spec: FieldSpec):
+    @jax.jit
+    def f(eq_t, out_t, f_t, e_t, d_eq, d_out, d_f, d_e):
+        return (fd.fadd(spec, eq_t, d_eq), fd.fadd(spec, out_t, d_out),
+                fd.fadd(spec, f_t, d_f), fd.fadd(spec, e_t, d_e))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _g_term_jit(spec: FieldSpec, cls, mems: tuple, k: int, C: int, M: int):
+    @jax.jit
+    def f(e_t, f_t):                      # [L, m, H], [L, NI, H]
+        vals = [DevF(e_t[:, mi], spec) for mi in mems]
+        g = cls().combine_lookups(vals, C, M)
+        return fd.fmul(spec, f_t[:, k], g.limbs)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _point_finish_jit(spec: FieldSpec):
+    @jax.jit
+    def f(eq_t, out_t, inner, h):
+        H = eq_t.shape[-1]
+        mask = jnp.arange(H, dtype=jnp.int32) < h
+        total = fd.fmul(spec, jnp.where(mask, eq_t, jnp.uint32(0)),
+                        fd.fsub(spec, inner, out_t))
+        return fd.fsum(spec, total, axis=-1)
+    return f
+
+
+def _primary_round_evals_decomposed(spec: FieldSpec, meta, degree: int,
+                                    eq, out, fl, e, h) -> jnp.ndarray:
+    """Round evals [L, degree+1] via the small-program pipeline.  Works for
+    both the masked fixed-shape arrays (h < physical half) and the
+    shrinking arrays (h == physical half: the dynamic slice and mask
+    degenerate to the static split)."""
+    instr_classes, instr_mems, C, M = meta
+    hs = np.int32(h)
+    (eq0, eq1, d_eq, out0, out1, d_out,
+     f0, f1, d_f, e0, e1, d_e) = _primary_split_jit(spec)(eq, out, fl, e, hs)
+    finish = _point_finish_jit(spec)
+    ext = _primary_ext_jit(spec)
+    evals = []
+    eq_t, out_t, f_t, e_t = eq0, out0, f0, e0
+    for t in range(degree + 1):
+        if t == 1:
+            eq_t, out_t, f_t, e_t = eq1, out1, f1, e1
+        elif t >= 2:
+            eq_t, out_t, f_t, e_t = ext(eq_t, out_t, f_t, e_t,
+                                        d_eq, d_out, d_f, d_e)
+        inner = None
+        for k, cls in enumerate(instr_classes):
+            term = _g_term_jit(spec, cls, tuple(instr_mems[k]), k, C, M)(
+                e_t, f_t)
+            inner = term if inner is None else fd.fadd(spec, inner, term)
+        evals.append(finish(eq_t, out_t, inner, hs))
+    return jnp.stack(evals, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -453,9 +448,8 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
         prev_dev = fd.zeros(spec, ())
         comps = []
         for _ in range(dev_rounds):
-            evals_dev = _primary_round_evals_m_jit(spec, meta, degree, eq_b,
-                                                   out_b, f_b, e_b,
-                                                   np.int32(h))
+            evals_dev = _primary_round_evals_decomposed(
+                spec, meta, degree, eq_b, out_b, f_b, e_b, h)
             comp, rj, prev_dev, state_dev, nr_dev = fs_round(
                 evals_dev, prev_dev, state_dev, nr_dev)
             eq_b, out_b, f_b, e_b = _primary_bind_m_jit(
@@ -470,6 +464,19 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
         dev_fs_done = 0
     if dev_fs_done < num_rounds:
         import numpy as np
+        from ..subprotocols.grand_product import _use_masked_rounds
+        # decomposed evals serve BOTH modes (shrinking arrays degenerate
+        # the dynamic slice/mask to the static split); only the bind
+        # differs (masked keeps full physical size, shrinking halves —
+        # full-size rounds cost ~log2(T)/2 x more 1-core FLOPs on CPU)
+        ev_fn = lambda eq_, out_, f_, e_, h_: _primary_round_evals_decomposed(
+            spec, meta, degree, eq_, out_, f_, e_, h_)
+        if _use_masked_rounds():
+            bind_fn = lambda *ts: _primary_bind_m_jit(
+                spec, *ts[:-1], np.int32(ts[-1]))
+        else:
+            bind_fn = lambda eq_, out_, f_, e_, rv_, h_: _primary_bind(
+                spec, eq_, out_, f_, e_, rv_)
         moved = False
         for j in range(num_rounds - dev_fs_done):
             if not moved and tail_dev is not None and 2 * h <= tail:
@@ -480,9 +487,7 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
                     jax.device_put(t[..., :2 * h], tail_dev)
                     for t in (eq_b, out_b, f_b, e_b))
                 moved = True
-            evals_dev = _primary_round_evals_m_jit(spec, meta, degree, eq_b,
-                                                   out_b, f_b, e_b,
-                                                   np.int32(h))
+            evals_dev = ev_fn(eq_b, out_b, f_b, e_b, h)
             evals = [FElt(int(v), spec)
                      for v in fd.device_to_ints(spec, evals_dev).tolist()]
             round_poly = UniPoly.from_evals(evals)
@@ -493,8 +498,7 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
             rv = fd.scalar_to_device(spec, r_j.v)
             if moved:
                 rv = jax.device_put(rv, tail_dev)
-            eq_b, out_b, f_b, e_b = _primary_bind_m_jit(
-                spec, eq_b, out_b, f_b, e_b, rv, np.int32(h))
+            eq_b, out_b, f_b, e_b = bind_fn(eq_b, out_b, f_b, e_b, rv, h)
             compressed.append(cpoly)
             h //= 2
 

@@ -105,6 +105,7 @@ def test_masked_device_rounds_transcript_parity(monkeypatch):
 
     monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "0")
     monkeypatch.setenv("JOLT_TPU_HOST_TAIL", "0")
+    monkeypatch.setenv("JOLT_TPU_MASKED", "1")
     gp = BatchedDenseGrandProduct.construct(leaves, spec)
     claims = gp.claims()
     t_dev = Transcript(b"gpm")
@@ -112,6 +113,7 @@ def test_masked_device_rounds_transcript_parity(monkeypatch):
     verify_grand_product(proof_dev, claims, Transcript(b"gpm"))
 
     monkeypatch.delenv("JOLT_TPU_HOST_TAIL")
+    monkeypatch.delenv("JOLT_TPU_MASKED")
     gp2 = BatchedDenseGrandProduct.construct(leaves, spec)
     t_host = Transcript(b"gpm")
     gp2.prove(t_host)
@@ -130,6 +132,7 @@ def test_masked_device_fs_rounds_transcript_parity(monkeypatch):
 
     monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "1")
     monkeypatch.setenv("JOLT_TPU_HOST_TAIL", "0")
+    monkeypatch.setenv("JOLT_TPU_MASKED", "1")
     gp = BatchedDenseGrandProduct.construct(leaves, spec)
     claims = gp.claims()
     t_dev = Transcript(b"gpf")
@@ -138,6 +141,7 @@ def test_masked_device_fs_rounds_transcript_parity(monkeypatch):
 
     monkeypatch.setenv("JOLT_TPU_DEVICE_FS", "0")
     monkeypatch.delenv("JOLT_TPU_HOST_TAIL")
+    monkeypatch.delenv("JOLT_TPU_MASKED")
     gp2 = BatchedDenseGrandProduct.construct(leaves, spec)
     t_host = Transcript(b"gpf")
     gp2.prove(t_host)
