@@ -264,6 +264,34 @@ def main():
     )
     _log(f"kernel: {ops_per_sec / 1e6:.1f}M muls/s "
          f"({ops_per_sec / baseline:.3f}x baseline)")
+
+    if os.environ.get("JOLT_BENCH_MSM", "1") not in ("0", ""):
+        # MSM commit throughput — the OTHER half of the declared
+        # sumcheck+MSM north-star metric (BASELINE.md:22; msm/mod.rs:68-220
+        # is the reference path).  A witness-shaped batch commit: mostly
+        # u32-sized scalars plus a few full-width RLC columns, over a
+        # generated SRS prefix.
+        try:
+            from jolt_tpu.commitment.kzg import kzg_commit_batch, srs_setup
+            n_msm = 1 << 14
+            pk, _vk = srs_setup(n_msm)
+            cols = [fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(
+                rng.integers(0, 1 << 32, size=n_msm, dtype=np.uint64))))
+                for _ in range(14)]
+            cols += [mk(n_msm), mk(n_msm)]   # full-width RLC columns
+            kzg_commit_batch(pk, cols)       # compile/load warmup
+            t0 = time.perf_counter()
+            msm_iters = 3
+            for _ in range(msm_iters):
+                kzg_commit_batch(pk, cols)
+            msm_dt = (time.perf_counter() - t0) / msm_iters
+            msm_ops = len(cols) * n_msm / msm_dt
+            _OUT["msm_commit_scalar_muls_per_sec"] = round(msm_ops)
+            _OUT["msm_commit_batch"] = f"{len(cols)}x2^14"
+            _log(f"msm: {msm_ops / 1e6:.2f}M scalar-muls/s "
+                 f"(batch {len(cols)} cols x 2^14, {msm_dt:.2f}s/commit)")
+        except Exception as e:
+            _OUT["msm_error"] = f"{type(e).__name__}: {e}"[:200]
     if os.environ.get("JOLT_BENCH_E2E", "1") not in ("0", ""):
         # the e2e stage gets whatever remains of the total budget minus a
         # print margin; if the watchdog fires mid-prove the kernel metric
