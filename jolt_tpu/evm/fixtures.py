@@ -134,11 +134,12 @@ def spartan_fixture(n: int = 4) -> dict:
     captured = {}
     original = r1cs_mod.spartan_prove
 
-    def capture(builder, non_uniform, key, polys, T, acc, transcript, sp):
+    def capture(builder, non_uniform, key, polys, T, acc, transcript, sp,
+                mesh=None):
         captured.update(builder=builder, non_uniform=non_uniform, key=key,
                         polys=polys, T=T)
         return original(builder, non_uniform, key, polys, T, acc,
-                        transcript, sp)
+                        transcript, sp, mesh=mesh)
 
     r1cs_mod.spartan_prove = capture
     try:

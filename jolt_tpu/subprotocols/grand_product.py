@@ -278,7 +278,11 @@ def _pair_bind_masked(spec: FieldSpec, l, r, eq, r_chal, h):
 
 _pair_cubic_evals_m_jit = jax.jit(_pair_cubic_evals_masked,
                                   static_argnums=0)
-_pair_bind_m_jit = jax.jit(_pair_bind_masked, static_argnums=0)
+# donate (l, r, eq): the bound outputs replace the inputs each round, so
+# HBM holds ONE working copy per tensor instead of two (first call may
+# copy if the caller still references the buffer — jax handles safely)
+_pair_bind_m_jit = jax.jit(_pair_bind_masked, static_argnums=0,
+                           donate_argnums=(1, 2, 3))
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -524,7 +528,13 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
     dev_sizes = [lay[0].shape[-1] for lay in layers
                  if not isinstance(lay, HostPairLayer)]
     s_canon = max(dev_sizes) if dev_sizes else None
-    for layer in reversed(layers):
+    for li in range(len(layers) - 1, -1, -1):
+        layer = layers[li]
+        # release the tree's reference: each layer is consumed exactly once
+        # (top-down), and freeing as we go halves the prover's peak HBM —
+        # the leaves layer alone is ~0.5 GB at T = 2^17 (also makes the
+        # bind donation below a true in-place update)
+        layers[li] = None
         host_layer = isinstance(layer, HostPairLayer)
         if host_layer:
             _B, _s = layer.batch, layer.size

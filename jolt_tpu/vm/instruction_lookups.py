@@ -548,6 +548,7 @@ def _prove_memory_checking(pre, polys, transcript: Transcript, mesh=None
     rw_hashes = rw_circuit.claims()
     if_circuit = BatchedDenseGrandProduct.construct(if_leaves, spec,
                                                     mesh=mesh)
+    del rw_leaves, if_leaves   # the pair trees hold their own copies
     if_hashes = if_circuit.claims()
 
     hashes = _uninterleave_hashes(pre, rw_hashes, if_hashes)

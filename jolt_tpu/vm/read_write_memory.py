@@ -304,6 +304,7 @@ def prove_memory_checking(polys: ReadWriteMemoryPolynomials,
 
     rw_circuit = BatchedDenseGrandProduct.construct(rw, spec, mesh=mesh)
     if_circuit = BatchedDenseGrandProduct.construct(inf, spec, mesh=mesh)
+    del rw, inf                # the pair trees hold their own copies
     rw_hashes = rw_circuit.claims()
     if_hashes = if_circuit.claims()
 

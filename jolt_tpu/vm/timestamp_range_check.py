@@ -151,6 +151,7 @@ def prove_timestamp_validity(ts_polys: TimestampRangeCheckPolynomials,
                         fd.scalar_to_device(spec, gamma.v),
                         fd.scalar_to_device(spec, tau.v))
     circuit = BatchedDenseGrandProduct.construct(leaves, spec, mesh=mesh)
+    del leaves                 # the pair tree holds its own copies
     hashes_flat = circuit.claims()
     rw = hashes_flat[: 4 * NUM_CH]
     inf = hashes_flat[4 * NUM_CH:]
