@@ -864,6 +864,23 @@ _toggle_cubic_evals_m_jit = jax.jit(_toggle_cubic_evals_masked,
 _toggle_bind_m_jit = jax.jit(_toggle_bind_masked, static_argnums=0)
 
 
+@partial(jax.jit, static_argnums=0)
+def _toggle_values_bits(spec: FieldSpec, bits: jnp.ndarray,
+                        fingerprints: jnp.ndarray) -> jnp.ndarray:
+    """Toggle-gate outputs from BIT-PACKED flags [m, T]: flag values are
+    0/1, so flag*fp + 1 - flag == where(bit, fp, 1)."""
+    b2 = jnp.repeat(bits, 2, axis=0)                 # [2m, T]
+    one = fd.ones(spec, fingerprints.shape[1:])
+    return jnp.where(b2[None], fingerprints, one)
+
+
+@partial(jax.jit, static_argnums=0)
+def _expand_flag_bits(spec: FieldSpec, bits: jnp.ndarray) -> jnp.ndarray:
+    """[m, T] bool -> Montgomery 0/1 limb tensor [L, m, T]."""
+    one = fd.ones(spec, bits.shape)
+    return jnp.where(bits[None], one, jnp.uint32(0))
+
+
 def _host_toggle_cubic_evals(p: int, flags: list, fps: list, eq: list,
                              coeffs: list[int]):
     """Mirror of _toggle_cubic_evals on host ints: flags[m][s], fps[2m][s],
@@ -908,12 +925,24 @@ class ToggledBatchedGrandProduct:
 
     def __init__(self, flags: jnp.ndarray, fingerprints: jnp.ndarray,
                  spec: FieldSpec | None = None, mesh=None):
+        """`flags` is either a Montgomery [L, m, T] tensor OR a bit-packed
+        [m, T] u8/bool array.  Bits are ~36x smaller in HBM (the flags of
+        a T=2^17 trace cost 254 MB as limb tensors); the Montgomery
+        expansion for the toggle rounds is deferred to prove() — after the
+        dense layers are proved and released, past the construction-time
+        HBM peak."""
         self.spec = spec or fr_spec()
         self.mesh = mesh
-        # toggle-round tensors, bit-reversed along the hypercube axis
-        self.flags = _bitrev_last(self.spec, flags)              # [L, m, T]
+        if flags.ndim == 2:                     # bit-packed
+            bits = jnp.asarray(flags).astype(bool)
+            self._flag_bits = _bitrev_last(self.spec, bits)
+            self.flags = None                   # expanded lazily in prove
+            values = _toggle_values_bits(self.spec, bits, fingerprints)
+        else:
+            self._flag_bits = None
+            self.flags = _bitrev_last(self.spec, flags)          # [L, m, T]
+            values = _toggle_values(self.spec, flags, fingerprints)
         self.fingerprints = _bitrev_last(self.spec, fingerprints)  # [L, 2m, T]
-        values = _toggle_values(self.spec, flags, fingerprints)
         self.real_batch = values.shape[1]
         self.layers = _build_pair_tree(self.spec, values,
                                        host_tail=0 if mesh is not None
@@ -925,7 +954,11 @@ class ToggledBatchedGrandProduct:
             from ..parallel.sharding import (maybe_shard_hypercube,
                                              shard_gp_pair_layers)
             self.layers = shard_gp_pair_layers(mesh, self.layers)
-            self.flags = maybe_shard_hypercube(mesh, self.flags)
+            if self.flags is not None:
+                self.flags = maybe_shard_hypercube(mesh, self.flags)
+            else:
+                self._flag_bits = maybe_shard_hypercube(mesh,
+                                                        self._flag_bits)
             self.fingerprints = maybe_shard_hypercube(mesh, self.fingerprints)
 
     @staticmethod
@@ -955,6 +988,8 @@ class ToggledBatchedGrandProduct:
         eq = eq_evals_device_br(
             spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
 
+        if self.flags is None:   # bit-packed: expand past the HBM peak
+            self.flags = _expand_flag_bits(spec, self._flag_bits)
         flags, fps = self.flags, self.fingerprints
         r_sumcheck: list[FElt] = []
         compressed: list[CompressedUniPoly] = []

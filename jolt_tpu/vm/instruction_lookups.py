@@ -112,7 +112,8 @@ class InstructionLookupPolynomials:
     lookup_outputs: jnp.ndarray      # [L, T]
     instruction_flag_bits: np.ndarray  # [NI, T] u8 (host)
     memory_flag_bits: np.ndarray       # [m, T] u8 (host)
-    memory_flags_dev: jnp.ndarray      # [L, m, T] 0/1 Montgomery
+    memory_flags_dev: jnp.ndarray      # [m, T] bool (bit-packed; the
+    #   toggled GP expands to Montgomery lazily — 36x less HBM)
 
     def read_write_values(self) -> list[jnp.ndarray]:
         """Canonical ordering: dim ‖ read_cts ‖ E ‖ flags ‖ outputs."""
@@ -184,7 +185,7 @@ def generate_witness(pre: InstructionLookupsPreprocessing,
         lookup_outputs=to_dev(outputs),
         instruction_flag_bits=flag_bits,
         memory_flag_bits=mem_flag_bits,
-        memory_flags_dev=to_dev(mem_flag_bits.astype(np.uint64)),
+        memory_flags_dev=jnp.asarray(mem_flag_bits.astype(bool)),
     )
 
 

@@ -246,6 +246,9 @@ class JoltVM:
             except TypeError:   # PCS without mesh support (Hyrax, custom)
                 rw_commitments = pcs.batch_commit(rw_polys)
                 if_commitments = pcs.batch_commit(if_polys)
+        # the column lists are gathered COPIES of the structured witness
+        # tensors, only needed for the commit — free ~0.5 GB at T=2^17
+        del rw_polys, if_polys
 
         transcript.append_scalar(key.vk_digest)
         for com in rw_commitments + if_commitments:
