@@ -103,6 +103,67 @@ def print_cumulative() -> None:
                   f"  {'-':>7}  {'-':>5}")
 
 
+# ---------------------------------------------------------------------------
+# Distinct-program accounting.  On the tunneled TPU the e2e prove cost is
+# `sum over DISTINCT XLA programs of (first-use load)` (docs/PERF.md round-4
+# cost model) — execution is ~free.  Wrapping compile_or_get_cached counts
+# exactly the per-process first-use events (jit reuses the in-memory
+# executable afterwards), including persistent-cache *loads* which still pay
+# deserialization + tunnel upload.
+# ---------------------------------------------------------------------------
+
+_programs: list = []          # (name, seconds) per first-use load
+_programs_installed = False
+
+
+def count_programs(on: bool = True) -> None:
+    """Install (or remove) the distinct-program load counter."""
+    global _programs_installed
+    from jax._src import compiler as _jc
+    if on and not _programs_installed:
+        orig = _jc.compile_or_get_cached
+
+        def wrapper(backend, computation, devices, compile_options,
+                    *args, **kwargs):
+            try:
+                name = computation.operation.attributes["sym_name"].value
+            except Exception:
+                name = "<module>"
+            t0 = time.perf_counter()
+            out = orig(backend, computation, devices, compile_options,
+                       *args, **kwargs)
+            _programs.append((name, time.perf_counter() - t0))
+            return out
+
+        wrapper._jolt_orig = orig
+        _jc.compile_or_get_cached = wrapper
+        _programs_installed = True
+    elif not on and _programs_installed:
+        _jc.compile_or_get_cached = _jc.compile_or_get_cached._jolt_orig
+        _programs_installed = False
+
+
+def reset_programs() -> None:
+    _programs.clear()
+
+
+def program_stats(top: int = 0) -> dict:
+    """{'count': N, 'seconds': total_load_s, 'top': [(name, s), ...]}"""
+    out = {"count": len(_programs),
+           "seconds": round(sum(s for _, s in _programs), 3)}
+    if top:
+        out["top"] = sorted(_programs, key=lambda r: -r[1])[:top]
+    return out
+
+
+def print_programs(top: int = 20) -> None:
+    st = program_stats(top=top)
+    print(f"distinct XLA programs: {st['count']}  "
+          f"load total {st['seconds']:.1f}s")
+    for name, s in st.get("top", []):
+        print(f"  {s:8.2f}s  {name}")
+
+
 @contextlib.contextmanager
 def jax_trace(log_dir: str):
     """Capture a JAX profiler trace (Perfetto-compatible) for the region —
