@@ -171,6 +171,159 @@ def fs_cubic_round_jit(spec: FieldSpec):
     return jax.jit(f)
 
 
+# ---------------------------------------------------------------------------
+# device-chained protocol glue
+# ---------------------------------------------------------------------------
+#
+# Host -> device transfers through the axon tunnel cost ~11ms EACH
+# (scripts/probe_dispatch.py), so any per-layer host interaction (challenge
+# vectors, eq-table challenges, claim folds) dominates a warm GP prove.
+# The helpers below keep the ENTIRE grand product device-resident: layer
+# coefficients are drawn by a device keccak scan, eq tables are built from
+# the device challenge array, and left/right claims are appended on device.
+# The host uploads the transcript state once per GP and pulls everything
+# once at the end, then replays the host transcript (bit-exactness oracle).
+
+import jax
+
+from ..utils.keccak_device import transcript_event
+
+
+@_functools.lru_cache(maxsize=None)
+def _one_limbs(spec: FieldSpec):
+    return np.asarray([int(v) for v in spec.r_limbs], dtype=np.uint32)
+
+
+@_functools.partial(jax.jit, static_argnums=(0, 3))
+def challenge_vector_dev(spec: FieldSpec, state, nr, b_max: int, count):
+    """Draw `count` (traced, <= b_max) sequential challenge scalars.
+
+    Returns (coeffs [L, b_max] Montgomery — zero beyond count, state', nr').
+    One compiled program per b_max regardless of count."""
+    empty = jnp.zeros(0, jnp.uint32)
+
+    def step(carry, i):
+        st, n = carry
+        new_st = transcript_event(st, n, empty)
+        c = words_to_mont(spec, new_st)
+        act = i < count
+        st2 = jnp.where(act, new_st, st)
+        n2 = jnp.where(act, n + jnp.uint32(1), n)
+        c = jnp.where(act, c, jnp.uint32(0))
+        return (st2, n2), c
+
+    (state, nr), cs = jax.lax.scan(
+        step, (state, nr), jnp.arange(b_max, dtype=jnp.int32))
+    return jnp.moveaxis(cs, 0, 1), state, nr
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def challenge_scalar_dev(spec: FieldSpec, state, nr):
+    """One challenge scalar on device -> (c [L], state', nr')."""
+    state = transcript_event(state, nr, jnp.zeros(0, jnp.uint32))
+    return words_to_mont(spec, state), state, nr + jnp.uint32(1)
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def append_scalars_dev(spec: FieldSpec, state, nr, scalars, count):
+    """Append scalars[:, i] for i < count (traced) as sequential scalar
+    transcript events.  scalars: [L, M] Montgomery."""
+    M = scalars.shape[1]
+
+    def step(carry, i):
+        st, n = carry
+        payload = scalar_be_words(spec, jnp.take(scalars, i, axis=1))
+        new_st = transcript_event(st, n, payload)
+        act = i < count
+        st2 = jnp.where(act, new_st, st)
+        n2 = jnp.where(act, n + jnp.uint32(1), n)
+        return (st2, n2), None
+
+    (state, nr), _ = jax.lax.scan(
+        step, (state, nr), jnp.arange(M, dtype=jnp.int32))
+    return state, nr
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def eq_masked_br(spec: FieldSpec, rs: jnp.ndarray, k) -> jnp.ndarray:
+    """Masked bit-reversed eq table: rs [L, K] challenge slots (first k
+    active, traced), output [L, 2^K] with out[p] = eq_br(rs[:k], p) on the
+    active prefix p < 2^k, zero beyond.
+
+    eq_br[p] = prod_{j<k} (bit_j(p) ? r_j : 1 - r_j); for j >= k the
+    factor is (bit_j(p) ? 0 : 1), which zeroes everything past 2^k.
+    Value-identical to poly.mle.eq_evals_device_br (mod-p products are
+    order-independent); ONE compiled program per table size instead of one
+    per challenge count."""
+    K = rs.shape[1]
+    S = 1 << K
+    idx = jnp.arange(S, dtype=jnp.int32)
+    one = jnp.asarray(_one_limbs(spec))[:, None]             # [L, 1]
+    table = fd.ones(spec, (S,))
+    for j in range(K):
+        bit = ((idx >> j) & 1).astype(bool)[None, :]         # [1, S]
+        rj = jnp.take(rs, j, axis=1)[:, None]                # [L, 1]
+        fa = jnp.where(bit, rj, fd.fsub(spec, one, rj))      # active factor
+        fi = jnp.where(bit, jnp.uint32(0), one)              # inactive
+        f = jnp.where(j < k, fa, fi)
+        table = fd.fmul(spec, table, jnp.broadcast_to(f, table.shape))
+    return table
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def fold_claims_dev(spec: FieldSpec, claims, coeffs):
+    """RLC joint claim: sum_b coeffs[:, b] * claims[:, b] -> [L]."""
+    return fd.fsum(spec, fd.fmul(spec, claims, coeffs), axis=0)
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def fold_lr_dev(spec: FieldSpec, lefts, rights, r_layer):
+    """claims' = lc + r_layer * (rc - lc), columnwise [L, B]."""
+    rb = jnp.broadcast_to(r_layer[:, None], lefts.shape)
+    return fd.fadd(spec, lefts,
+                   fd.fmul(spec, rb, fd.fsub(spec, rights, lefts)))
+
+
+@jax.jit
+def set_col(buf: jnp.ndarray, v: jnp.ndarray, j) -> jnp.ndarray:
+    """buf[:, j] = v (traced column index)."""
+    return jax.lax.dynamic_update_slice(buf, v[:, None], (0, j))
+
+
+@jax.jit
+def rebuild_rs(rrounds: jnp.ndarray, r_layer: jnp.ndarray, k) -> jnp.ndarray:
+    """Next r_grand_product slots: out[:, j] = rrounds[:, k-1-j] for j < k,
+    r_layer at j == k, zero beyond.  rrounds: [L, K] round challenges in
+    emission order (first k active)."""
+    K = rrounds.shape[1]
+    j = jnp.arange(K, dtype=jnp.int32)
+    src = jnp.clip(k - 1 - j, 0, K - 1)
+    rev = jnp.take(rrounds, src, axis=1)
+    out = jnp.where((j < k)[None, :], rev, jnp.uint32(0))
+    return jax.lax.dynamic_update_slice(out, r_layer[:, None], (0, k))
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def pair_finals_dev(spec: FieldSpec, l, r):
+    """Bound pair layers [B, L, S] -> (lefts [L, B], rights [L, B],
+    interleaved [L, 2B] = lc0, rc0, lc1, rc1, ...)."""
+    lefts = jnp.moveaxis(l[..., 0], 0, 1)
+    rights = jnp.moveaxis(r[..., 0], 0, 1)
+    inter = jnp.stack([lefts, rights], axis=2).reshape(lefts.shape[0], -1)
+    return lefts, rights, inter
+
+
+@_functools.partial(jax.jit, static_argnums=0)
+def toggle_finals_dev(spec: FieldSpec, flags, fps):
+    """Bound toggle tensors (flags [L, m, T], fps [L, 2m, T]) -> the
+    interleaved claim row [L, 4m] = flag0, fp0, flag0, fp1, flag1, fp2, …
+    (left claim of fp b is flag b//2, grand_product.rs:1422-1474)."""
+    f0 = flags[..., 0]                                    # [L, m]
+    p0 = fps[..., 0]                                      # [L, 2m]
+    lefts = jnp.repeat(f0, 2, axis=1)                     # [L, 2m]
+    return jnp.stack([lefts, p0], axis=2).reshape(f0.shape[0], -1)
+
+
 def replay_and_check(spec: FieldSpec, comp_ints, transcript, state_dev,
                      make_cpoly):
     """Replay `comp_ints` [rounds, d] through the HOST transcript,

@@ -442,6 +442,10 @@ def _build_pair_tree(spec: FieldSpec, leaves: jnp.ndarray,
     (layers[0] the largest, layers[-1] size-1).  Layers with per-side size
     <= host_tail are HostPairLayer (see module comment above)."""
     tail = _tail_threshold() if host_tail is None else host_tail
+    if host_tail is None and _use_chain():
+        # chained proving keeps every layer device-resident (one pull per
+        # GP); host-tail layers would force a mid-chain sync
+        tail = 0
     layers = [_interleaved_to_pair(spec, leaves)]
     if tail and layers[0][0].shape[-1] <= tail:
         layers = [_pair_layer_to_host(spec, *layers[0])]
@@ -501,13 +505,180 @@ class BatchedDenseGrandProduct:
     def claims(self) -> list[FElt]:
         return _pair_claims(self.spec, self.layers[-1])[: self.real_batch]
 
+    def _chain_ok(self) -> bool:
+        return (_use_chain() and self.round_tail
+                and not any(isinstance(lay, HostPairLayer)
+                            for lay in self.layers)
+                and self.real_batch == self.layers[0][0].shape[0])
+
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
         claims = self.claims()
+        if self._chain_ok():
+            from ..utils.profiling import span
+            _B, _, _s = self.layers[0][0].shape
+            _ops = sum((1 << j) * (_B * 7 + 4)
+                       for j in range(len(self.layers) - 1))
+            with span("BatchedDenseGP::chained", ops=_ops):
+                pend, (state, _, _, _) = _chain_prove_dense(
+                    self.spec, self.layers, transcript)
+                comp_ints, row_ints = _chain_pull(self.spec, pend)
+                layer_proofs, r_grand_product, _, _ = _chain_replay_dense(
+                    self.spec, pend, comp_ints, row_ints, claims, transcript)
+                _assert_chain_state(transcript, state)
+            return BatchedGrandProductProof(layer_proofs), r_grand_product
         layer_proofs, r_grand_product, _ = _prove_dense_layers(
             self.spec, self.layers, claims, [], transcript,
             round_tail=self.round_tail)
         return BatchedGrandProductProof(layer_proofs), r_grand_product
+
+
+def _use_chain() -> bool:
+    """Fully device-chained GP proving (one transfer in, one pull out per
+    grand product).  Default on TPU backends where every host->device
+    transfer costs ~11ms through the tunnel (scripts/probe_dispatch.py);
+    JOLT_TPU_CHAIN=1/0 overrides (parity tests force it on CPU).
+    Transcripts are bit-identical — the end-of-GP host replay asserts the
+    device keccak chain byte-for-byte."""
+    import os
+    v = os.environ.get("JOLT_TPU_CHAIN")
+    if v is not None:
+        return v not in ("0", "")
+    return fd._pallas_backend() and _use_device_fs()
+
+
+def _chain_prove_dense(spec: FieldSpec, layers: list, transcript: Transcript):
+    """Device-chained dense-layer rounds: enqueue EVERY layer's challenge
+    vector, eq build, sumcheck rounds and claim appends on device with no
+    host sync; returns (pend, ctx) for _chain_replay.
+
+    pend: per-layer (k, [comp [L,3]] * k, inter [L, 2B]) device handles.
+    ctx:  (state, nr, rs_dev [L, K+1], claims_dev [L, B]).
+    """
+    from . import fs_device as fsd
+
+    n_layers = len(layers)
+    B = layers[0][0].shape[0]
+    K = n_layers - 1                      # max rounds = log2(leaf pair size)
+    state, nr = fsd.state_to_device(transcript)
+    top_l, top_r = layers[-1]
+    claims_dev = fd.fmul(spec, jnp.moveaxis(top_l[..., 0], 0, 1),
+                         jnp.moveaxis(top_r[..., 0], 0, 1))  # [L, B]
+    rs_dev = fd.zeros(spec, (K + 1,))
+    masked = _use_masked_rounds()
+    s_canon = layers[0][0].shape[-1]
+    fs_round = fsd.fs_cubic_round_jit(spec)
+    pend = []
+    for li in range(n_layers - 1, -1, -1):
+        l, r = layers[li]
+        layers[li] = None                 # release as consumed (HBM)
+        _s = l.shape[-1]
+        k = _s.bit_length() - 1           # rounds this layer
+        coeffs, state, nr = fsd.challenge_vector_dev(
+            spec, state, nr, B, np.int32(B))
+        prev = fsd.fold_claims_dev(spec, claims_dev, coeffs)
+        eq_full = fsd.eq_masked_br(spec, rs_dev[:, :K], np.int32(k)) \
+            if K > 0 else fd.ones(spec, (1,))
+        if masked:
+            if _s < s_canon:
+                l = _pad_last(spec, l, s_canon)
+                r = _pad_last(spec, r, s_canon)
+            eq = eq_full
+            evals_fn = lambda l_, r_, eq_, h_: _pair_cubic_evals_m_jit(
+                spec, l_, r_, eq_, coeffs, np.int32(h_))
+            bind_fn = lambda l_, r_, eq_, rj, h_: _pair_bind_m_jit(
+                spec, l_, r_, eq_, rj, np.int32(h_))
+        else:
+            eq = eq_full[:, :_s] if K > 0 else eq_full
+            evals_fn = lambda l_, r_, eq_, h_: _pair_cubic_evals(
+                spec, l_, r_, eq_, coeffs)
+            bind_fn = lambda l_, r_, eq_, rj, h_: _pair_bind(
+                spec, l_, r_, eq_, rj)
+        h = _s // 2
+        comps = []
+        rrounds = fd.zeros(spec, (K + 1,))
+        for j in range(k):
+            e023 = evals_fn(l, r, eq, h)
+            comp, rj, prev, state, nr = fs_round(e023, prev, state, nr)
+            l, r, eq = bind_fn(l, r, eq, rj, h)
+            comps.append(comp)
+            rrounds = fsd.set_col(rrounds, rj, np.int32(j))
+            h //= 2
+        lefts, rights, inter = fsd.pair_finals_dev(spec, l, r)
+        state, nr = fsd.append_scalars_dev(spec, state, nr, inter,
+                                           np.int32(2 * B))
+        r_layer, state, nr = fsd.challenge_scalar_dev(spec, state, nr)
+        claims_dev = fsd.fold_lr_dev(spec, lefts, rights, r_layer)
+        rs_dev = fsd.rebuild_rs(rrounds, r_layer, np.int32(k))
+        pend.append((k, comps, inter))
+    return pend, (state, nr, rs_dev, claims_dev)
+
+
+def _chain_pull(spec: FieldSpec, pend: list, extra_comps: list = (),
+                extra_rows: list = ()):
+    """One batched pull of every queued round poly + claim row.
+
+    Returns (comp_ints iterator-indexable [T][3], row_ints [n_rows][...])."""
+    all_comps = [c for (_, cs, _) in pend for c in cs] + list(extra_comps)
+    rows = [it for (_, _, it) in pend] + list(extra_rows)
+    comp_ints = fd.device_to_ints(
+        spec, jnp.stack(all_comps, axis=1)).tolist() if all_comps else []
+    # rows may differ in width (toggle claims) — group by width per stack
+    row_ints = []
+    for row in rows:
+        row_ints.append(row)
+    if row_ints:
+        widths = {}
+        for i, row in enumerate(row_ints):
+            widths.setdefault(row.shape[-1], []).append(i)
+        out = [None] * len(row_ints)
+        for w, idxs in widths.items():
+            stacked = fd.device_to_ints(
+                spec, jnp.stack([row_ints[i] for i in idxs], axis=1))
+            arr = stacked.tolist() if stacked.ndim > 1 else [stacked.tolist()]
+            for i, vals in zip(idxs, arr):
+                out[i] = [int(v) for v in vals]
+        row_ints = out
+    return comp_ints, row_ints
+
+
+def _chain_replay_dense(spec: FieldSpec, pend: list, comp_ints, row_ints,
+                        claims: list[FElt], transcript: Transcript):
+    """Replay the dense layers through the HOST transcript, building the
+    proof structure; transcript bytes are asserted against the device
+    chain by the caller (state comparison)."""
+    layer_proofs = []
+    r_grand_product: list[FElt] = []
+    idx = 0
+    B = len(claims)
+    for (k, _, _), inter in zip(pend, row_ints):
+        transcript.challenge_vector(B)
+        compressed, r_sumcheck = [], []
+        for _ in range(k):
+            cpoly = CompressedUniPoly(
+                [FElt(int(v), spec) for v in comp_ints[idx]])
+            idx += 1
+            cpoly.append_to_transcript(transcript)
+            r_sumcheck.append(transcript.challenge_scalar())
+            compressed.append(cpoly)
+        lefts = [FElt(int(inter[2 * b]), spec) for b in range(B)]
+        rights = [FElt(int(inter[2 * b + 1]), spec) for b in range(B)]
+        for lc, rc in zip(lefts, rights):
+            transcript.append_scalar(lc)
+            transcript.append_scalar(rc)
+        r_layer = transcript.challenge_scalar()
+        claims = [lc + r_layer * (rc - lc)
+                  for lc, rc in zip(lefts, rights)]
+        r_grand_product = list(reversed(r_sumcheck)) + [r_layer]
+        layer_proofs.append(BatchedGrandProductLayerProof(
+            SumcheckInstanceProof(compressed), lefts, rights))
+    return layer_proofs, r_grand_product, claims, idx
+
+
+def _assert_chain_state(transcript: Transcript, state_dev) -> None:
+    dev = np.asarray(jax.device_get(state_dev)).astype("<u4").tobytes()
+    assert dev == transcript.state, \
+        "device Fiat-Shamir chain diverged from host transcript (GP chain)"
 
 
 def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
@@ -970,10 +1141,95 @@ class ToggledBatchedGrandProduct:
     def claims(self) -> list[FElt]:
         return _pair_claims(self.spec, self.layers[-1])[: self.real_batch]
 
+    def _chain_ok(self) -> bool:
+        return (_use_chain() and self.mesh is None
+                and not any(isinstance(lay, HostPairLayer)
+                            for lay in self.layers))
+
+    def _prove_chained(self, transcript: Transcript, claims: list[FElt]
+                       ) -> tuple[BatchedGrandProductProof, list[FElt]]:
+        """Device-chained prove: dense layers + toggle rounds enqueue with
+        no host sync; ONE pull + host transcript replay at the end."""
+        from . import fs_device as fsd
+        from ..utils.profiling import span
+
+        spec = self.spec
+        m = self.real_batch
+        T = self.fingerprints.shape[-1]
+        k_toggle = T.bit_length() - 1
+        _ops = (sum((1 << j) * (m * 7 + 4) for j in range(k_toggle - 1))
+                + 2 * T * (m * 8 + 4))
+        with span("ToggledGP::chained", ops=_ops):
+            pend, (state, nr, rs_dev, claims_dev) = _chain_prove_dense(
+                spec, self.layers, transcript)
+            # toggle rounds (grand_product.rs:1422-1474): log T rounds,
+            # claims appended per (flag, fingerprint) pair, NO r_layer
+            coeffs_dev, state, nr = fsd.challenge_vector_dev(
+                spec, state, nr, m, np.int32(m))
+            prev = fsd.fold_claims_dev(spec, claims_dev, coeffs_dev)
+            eq = fsd.eq_masked_br(spec, rs_dev, np.int32(k_toggle))
+            if self.flags is None:
+                self.flags = _expand_flag_bits(spec, self._flag_bits)
+            flags, fps = self.flags, self.fingerprints
+            masked = _use_masked_rounds()
+            if masked:
+                evals_fn = lambda f_, p_, e_, h_: _toggle_cubic_evals_m_jit(
+                    spec, f_, p_, e_, coeffs_dev, np.int32(h_))
+                bind_fn = lambda f_, p_, e_, rj, h_: _toggle_bind_m_jit(
+                    spec, f_, p_, e_, rj, np.int32(h_))
+            else:
+                evals_fn = lambda f_, p_, e_, h_: _toggle_cubic_evals(
+                    spec, f_, p_, e_, coeffs_dev)
+                bind_fn = lambda f_, p_, e_, rj, h_: _toggle_bind(
+                    spec, f_, p_, e_, rj)
+            fs_round = fsd.fs_cubic_round_jit(spec)
+            h = T // 2
+            toggle_comps = []
+            for _ in range(k_toggle):
+                e023 = evals_fn(flags, fps, eq, h)
+                comp, rj, prev, state, nr = fs_round(e023, prev, state, nr)
+                flags, fps, eq = bind_fn(flags, fps, eq, rj, h)
+                toggle_comps.append(comp)
+                h //= 2
+            inter = fsd.toggle_finals_dev(spec, flags, fps)
+            state, nr = fsd.append_scalars_dev(spec, state, nr, inter,
+                                               np.int32(2 * m))
+
+            comp_ints, row_ints = _chain_pull(
+                spec, pend, extra_comps=toggle_comps, extra_rows=[inter])
+            layer_proofs, _, _, idx = _chain_replay_dense(
+                spec, pend, comp_ints, row_ints[:-1], claims, transcript)
+            # toggle replay
+            transcript.challenge_vector(m)
+            compressed, r_sumcheck = [], []
+            for _ in range(k_toggle):
+                cpoly = CompressedUniPoly(
+                    [FElt(int(v), spec) for v in comp_ints[idx]])
+                idx += 1
+                cpoly.append_to_transcript(transcript)
+                r_sumcheck.append(transcript.challenge_scalar())
+                compressed.append(cpoly)
+            inter_row = row_ints[-1]
+            left_claims = [FElt(int(inter_row[2 * b]), spec)
+                           for b in range(m)]
+            right_claims = [FElt(int(inter_row[2 * b + 1]), spec)
+                            for b in range(m)]
+            for lc, rc in zip(left_claims, right_claims):
+                transcript.append_scalar(lc)
+                transcript.append_scalar(rc)
+            _assert_chain_state(transcript, state)
+            r_grand_product = list(reversed(r_sumcheck))
+            layer_proofs.append(BatchedGrandProductLayerProof(
+                SumcheckInstanceProof(compressed), left_claims,
+                right_claims))
+        return BatchedGrandProductProof(layer_proofs), r_grand_product
+
     def prove(self, transcript: Transcript
               ) -> tuple[BatchedGrandProductProof, list[FElt]]:
         spec = self.spec
         claims = self.claims()
+        if self._chain_ok():
+            return self._prove_chained(transcript, claims)
         layer_proofs, r_grand_product, claims = _prove_dense_layers(
             spec, self.layers, claims, [], transcript,
             round_tail=self.mesh is None)
