@@ -285,8 +285,7 @@ def surge_prove(pre: SurgePreprocessing, pcs, x: np.ndarray, y: np.ndarray,
 
     # primary sumcheck
     r_primary = transcript.challenge_vector(num_rounds)
-    eq = mle.eq_evals_device(
-        spec, [fd.scalar_to_device(spec, r.v) for r in r_primary])
+    eq = mle.eq_evals_device(spec, r_primary)
     instr = pre.instruction_cls()
     comb = combine_with_eq(pre.instruction_cls, C, M)
     e_list = tuple(polys.E_polys[:, i] for i in range(pre.num_memories))

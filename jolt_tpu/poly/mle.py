@@ -75,18 +75,33 @@ def _eq_evals_stacked_br(spec: FieldSpec, rs: jnp.ndarray) -> jnp.ndarray:
     return table
 
 
-def eq_evals_device(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def _stack_point(spec: FieldSpec, r) -> jnp.ndarray:
+    """Challenge point -> stacked [k, L] Montgomery device array.
+
+    Accepts a list of device limb vectors [L], OR host FElt/int values —
+    the host form packs ALL challenges into ONE canonical array and does a
+    single upload + device to-Montgomery pass (each individual
+    scalar_to_device upload costs ~11ms through the tunnel)."""
+    first = r[0]
+    if isinstance(first, jnp.ndarray) and first.dtype == jnp.uint32:
+        return jnp.stack(list(r), axis=0)
+    vals = [x.v if hasattr(x, "v") else int(x) % spec.p for x in r]
+    packed = fd.pack_ints(vals)                        # [L, k] canonical
+    return jnp.moveaxis(fd.to_mont_device(spec, jnp.asarray(packed)), 1, 0)
+
+
+def eq_evals_device(spec: FieldSpec, r) -> jnp.ndarray:
     """eq(r, x) table over the 2^ell hypercube, on device.
 
-    r: list of limb vectors [L] (Montgomery).  Index bits big-endian w.r.t.
-    r order (eq_poly.rs:34-49 doubling DP).
+    r: list of limb vectors [L] (Montgomery) or host FElt/ints.  Index bits
+    big-endian w.r.t. r order (eq_poly.rs:34-49 doubling DP).
     """
     if not r:
         return fd.ones(spec, (1,))
-    return _eq_evals_stacked(spec, jnp.stack(list(r), axis=0))
+    return _eq_evals_stacked(spec, _stack_point(spec, r))
 
 
-def eq_evals_device_br(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def eq_evals_device_br(spec: FieldSpec, r) -> jnp.ndarray:
     """eq(r, x) table in BIT-REVERSED index order: out[p] = eq_evals[rev(p)].
 
     Same doubling DP as eq_evals_device but each new variable extends the
@@ -97,7 +112,7 @@ def eq_evals_device_br(spec: FieldSpec, r: Sequence[jnp.ndarray]) -> jnp.ndarray
     """
     if not r:
         return fd.ones(spec, (1,))
-    return _eq_evals_stacked_br(spec, jnp.stack(list(r), axis=0))
+    return _eq_evals_stacked_br(spec, _stack_point(spec, r))
 
 
 def bitrev_indices(n: int) -> np.ndarray:
@@ -110,6 +125,19 @@ def bitrev_indices(n: int) -> np.ndarray:
         out = (out << 1) | (idx & 1)
         idx >>= 1
     return out
+
+
+def evaluate_many_host(spec: FieldSpec, polys, eq_table: jnp.ndarray):
+    """Evaluate many same-length MLEs at one point (given its eq table):
+    ONE stacked inner-product program + ONE pull.  Per-poly
+    to_int(evaluate_device(...)) costs a ~10ms tunnel transfer each."""
+    from ..field.host import FElt
+    stacked = jnp.stack(list(polys), axis=1)               # [L, P, n]
+    prods = fd.fmul(spec, stacked, jnp.broadcast_to(
+        eq_table[:, None, :], stacked.shape))
+    vals = fd.fsum(spec, prods, axis=-1)                   # [L, P]
+    return [FElt(int(v), spec)
+            for v in fd.device_to_ints(spec, vals).tolist()]
 
 
 def evaluate_device(spec: FieldSpec, z: jnp.ndarray, eq_table: jnp.ndarray) -> jnp.ndarray:

@@ -48,7 +48,7 @@ def rlc_polys(spec: FieldSpec, polys: Sequence[jnp.ndarray],
                 [p, jnp.zeros(p.shape[:-1] + (n - p.shape[-1],), dtype=p.dtype)],
                 axis=-1)
         padded.append(p)
-    coeffs_dev = jnp.stack([fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
+    coeffs_dev = fd.ints_to_device(spec, [c.v for c in coeffs])
     return _rlc(spec, tuple(padded), coeffs_dev)
 
 
@@ -266,8 +266,9 @@ class ProverOpeningAccumulator:
         # host-tail threshold; the remaining rounds run as host bigints
         # (identical transcript bytes, no per-shape XLA programs for the
         # long tail of tiny shapes)
-        tail = 0 if getattr(self, "_mesh", None) is not None \
-            else _tail_threshold()
+        from ..subprotocols.grand_product import _use_masked_rounds
+        tail = 0 if (getattr(self, "_mesh", None) is not None
+                     or _use_masked_rounds()) else _tail_threshold()
         dev_rounds = max_num_vars
         if tail:
             dev_rounds = 0
@@ -288,26 +289,37 @@ class ProverOpeningAccumulator:
                              for o in self.openings], axis=1)
         stack_e = jnp.stack([_pad_to(o.eq_poly, N)
                              for o in self.openings], axis=1)
-        coeffs_mat = jnp.stack([fd.scalar_to_device(spec, c.v)
-                                for c in coeffs], axis=1)       # [L, P]
+        coeffs_mat = fd.ints_to_device(spec, [c.v for c in coeffs])  # [L, P]
         if dev_rounds > 0:
             state_dev, nr_dev = fsd.state_to_device(transcript)
             prev_dev = fd.scalar_to_device(spec, e.v)
-            comps = []
+            # per-round inactive-claim constants + active masks are
+            # challenge-independent: ONE packed upload for all rounds
+            # (per-scalar transfers cost ~11ms each through the tunnel)
+            amasks, inacts = [], []
             for rnd in range(dev_rounds):
                 remaining = max_num_vars - rnd
-                amask = np.array([remaining <= len(o.opening_point)
-                                  for o in self.openings])
+                am = np.array([remaining <= len(o.opening_point)
+                               for o in self.openings])
                 inact = FElt(0, spec)
                 for i, o in enumerate(self.openings):
-                    if not amask[i]:
+                    if not am[i]:
                         rem_vars = remaining - len(o.opening_point) - 1
                         inact = inact + FElt(1 << rem_vars, spec) * o.claim \
                             * coeffs[i]
+                amasks.append(am)
+                inacts.append(inact.v)
+            inacts_dev = fd.ints_to_device(spec, inacts)      # [L, R]
+            amasks_dev = jnp.asarray(np.stack(amasks))        # [R, P]
+            comps = []
+            for rnd in range(dev_rounds):
+                remaining = max_num_vars - rnd
                 comp, stack_p, stack_e, prev_dev, state_dev, nr_dev = \
                     _reduction_round_fs_m_jit(spec)(
-                        stack_p, stack_e, coeffs_mat, jnp.asarray(amask),
-                        fd.scalar_to_device(spec, inact.v),
+                        stack_p, stack_e, coeffs_mat,
+                        jnp.take(amasks_dev, jnp.asarray(rnd, jnp.int32),
+                                 axis=0),
+                        fd.col(inacts_dev, rnd),
                         prev_dev, state_dev, nr_dev,
                         np.int32(1 << (remaining - 1)))
                 comps.append(comp)

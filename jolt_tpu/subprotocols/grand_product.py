@@ -766,15 +766,13 @@ def _prove_dense_layers(spec: FieldSpec, layers: list[tuple],
             layer_span.__exit__(None, None, None)
             continue
 
-        coeffs_dev = jnp.stack(
-            [fd.scalar_to_device(spec, c.v) for c in coeffs]
-            # mesh zero-padding: pad rows get coefficient 0, so every round
-            # evaluation is identical to the unpadded prover's
-            + [fd.scalar_to_device(spec, 0)] * (l.shape[0] - n_real),
-            axis=1)
+        # mesh zero-padding: pad rows get coefficient 0, so every round
+        # evaluation is identical to the unpadded prover's (ONE packed
+        # upload — per-scalar transfers cost ~11ms each via the tunnel)
+        coeffs_dev = fd.ints_to_device(
+            spec, [c.v for c in coeffs] + [0] * (l.shape[0] - n_real))
 
-        eq = eq_evals_device_br(
-            spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
+        eq = eq_evals_device_br(spec, r_grand_product)
 
         # device rounds only while the per-side size is above the host-tail
         # threshold; the halving tail rounds run as host bigints (same as
@@ -1239,10 +1237,8 @@ class ToggledBatchedGrandProduct:
         joint_claim = FElt(0, spec)
         for c, co in zip(claims, coeffs):
             joint_claim = joint_claim + c * co
-        coeffs_dev = jnp.stack(
-            [fd.scalar_to_device(spec, c.v) for c in coeffs], axis=1)
-        eq = eq_evals_device_br(
-            spec, [fd.scalar_to_device(spec, x.v) for x in r_grand_product])
+        coeffs_dev = fd.ints_to_device(spec, [c.v for c in coeffs])
+        eq = eq_evals_device_br(spec, r_grand_product)
 
         if self.flags is None:   # bit-packed: expand past the HBM peak
             self.flags = _expand_flag_bits(spec, self._flag_bits)

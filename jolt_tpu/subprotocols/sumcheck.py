@@ -82,6 +82,16 @@ def _bind_all(spec: FieldSpec, polys: tuple[jnp.ndarray, ...],
     return tuple(bind_top(spec, p, r) for p in polys)
 
 
+def _final_evals_batched(spec: FieldSpec, polys) -> list[FElt]:
+    """Pull every poly's bound value p[..., 0] in ONE stacked fetch
+    (per-poly to_int costs a ~10ms transfer each through the tunnel)."""
+    if not polys:
+        return []
+    stacked = jnp.stack([p[..., 0] for p in polys], axis=1)   # [L, P]
+    return [FElt(int(v), spec)
+            for v in fd.device_to_ints(spec, stacked).tolist()]
+
+
 def _device_scalars_to_felts(spec: FieldSpec, arr: jnp.ndarray) -> list[FElt]:
     ints = fd.device_to_ints(spec, arr)
     return [FElt(int(v), spec) for v in ints.tolist()]
@@ -117,8 +127,7 @@ def prove_arbitrary(num_rounds: int,
             compressed, r, polys = _prove_rounds_device(
                 num_rounds, polys, comb_func, degree, transcript, spec,
                 bot=False, claim=None)
-            final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec)
-                           for p in polys]
+            final_evals = _final_evals_batched(spec, polys)
             return SumcheckInstanceProof(compressed), r, final_evals
         r: list[FElt] = []
         compressed: list[CompressedUniPoly] = []
@@ -187,8 +196,7 @@ def prove_arbitrary_bot(num_rounds: int, polys, comb_func, degree: int,
         compressed, r, polys = _prove_rounds_device(
             num_rounds, polys, comb_func, degree, transcript, spec,
             bot=True, claim=claim)
-        final_evals = [FElt(fd.to_int(spec, p[..., 0]), spec)
-                       for p in polys]
+        final_evals = _final_evals_batched(spec, polys)
         return SumcheckInstanceProof(compressed), r, final_evals
     r: list[FElt] = []
     compressed: list[CompressedUniPoly] = []
@@ -400,7 +408,11 @@ def _prove_rounds_device(num_rounds, polys, comb_func, degree, transcript,
     n = polys[0].shape[-1]
     tail, tail_dev = _tail_threshold(), _tail_device()
     dev_rounds = num_rounds
-    if tail_dev is not None:
+    from .grand_product import _use_masked_rounds
+    if tail_dev is not None and not _use_masked_rounds():
+        # CPU-tail rounds only make sense for the per-shape shrinking
+        # kernels; the masked fixed-shape path reuses ONE program for all
+        # rounds and every tail handoff would cost device->host transfers
         dev_rounds = 0
         while dev_rounds < num_rounds and (n >> dev_rounds) > tail:
             dev_rounds += 1

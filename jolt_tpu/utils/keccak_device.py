@@ -68,18 +68,30 @@ def _rotl64(lo, hi, r):
 
 
 def keccak_f(lo: jnp.ndarray, hi: jnp.ndarray):
-    """Keccak-f[1600] permutation on uint32[25] lane halves."""
+    """Keccak-f[1600] permutation on uint32[25] lane halves.
+
+    The 24 rounds run under lax.fori_loop: a keccak-heavy transcript
+    program (e.g. the fused Fiat-Shamir round with 6 chained events) drops
+    ~24x in compiled size, which is what its per-process load through the
+    tunnel costs (a 13 MB unrolled fs-round program loaded in 10+ s)."""
+    import jax
+
     rot, pi_perm, chi1, chi2, dsel = _indices()
     rot = jnp.asarray(rot)
     pi_perm = jnp.asarray(pi_perm)
     chi1 = jnp.asarray(chi1)
     chi2 = jnp.asarray(chi2)
     dsel = jnp.asarray(dsel)
+    rcs = jnp.asarray(
+        np.array([[rc & 0xFFFFFFFF, rc >> 32] for rc in _RC],
+                 dtype=np.uint32))
+
     def _xor5(a):
         m = a.reshape(5, 5)
         return m[0] ^ m[1] ^ m[2] ^ m[3] ^ m[4]
 
-    for rc in _RC:
+    def _round(i, lohi):
+        lo, hi = lohi
         # theta
         clo = _xor5(lo)
         chi_ = _xor5(hi)
@@ -97,9 +109,11 @@ def keccak_f(lo: jnp.ndarray, hi: jnp.ndarray):
         lo = blo ^ (~blo[chi1] & blo[chi2])
         hi = bhi ^ (~bhi[chi1] & bhi[chi2])
         # iota
-        lo = lo.at[0].set(lo[0] ^ jnp.uint32(rc & 0xFFFFFFFF))
-        hi = hi.at[0].set(hi[0] ^ jnp.uint32(rc >> 32))
-    return lo, hi
+        lo = lo.at[0].set(lo[0] ^ rcs[i, 0])
+        hi = hi.at[0].set(hi[0] ^ rcs[i, 1])
+        return lo, hi
+
+    return jax.lax.fori_loop(0, 24, _round, (lo, hi))
 
 
 def keccak256_words(msg_words: jnp.ndarray, msg_len_bytes: int) -> jnp.ndarray:

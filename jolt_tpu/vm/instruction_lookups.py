@@ -404,7 +404,7 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     T = polys.dim.shape[-1]
     num_rounds = log2_strict(T)
     r_eq = transcript.challenge_vector(num_rounds)
-    eq = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v) for v in r_eq])
+    eq = mle.eq_evals_device(spec, r_eq)
 
     degree = pre.sumcheck_degree
     meta = pre.meta_key()
@@ -428,6 +428,11 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
     # no tunnel dispatch; exact integer XLA — transcript-identical)
     tail, tail_dev = _tail_threshold(), _tail_device()
     if mesh is not None:   # sharded rounds stay on the mesh end-to-end
+        tail, tail_dev = 0, None
+    from ..subprotocols.grand_product import _use_masked_rounds
+    if _use_masked_rounds():
+        # masked fixed-shape rounds reuse ONE program for every round;
+        # a CPU-tail handoff would only add device->host transfers
         tail, tail_dev = 0, None
     dev_rounds = num_rounds
     if tail_dev is not None:
@@ -516,8 +521,7 @@ def prove_instruction_lookups(pre: InstructionLookupsPreprocessing,
                         for i in range(pre.num_instructions)]
                      + [polys.lookup_outputs])
     primary_openings = E_evals + flag_evals + [outputs_eval]
-    eq_r_primary = mle.eq_evals_device(
-        spec, [fd.scalar_to_device(spec, v.v) for v in r_primary])
+    eq_r_primary = mle.eq_evals_device(spec, r_primary)
     opening_accumulator.append(primary_polys, eq_r_primary, r_primary,
                                primary_openings, transcript)
 

@@ -677,8 +677,7 @@ def spartan_prove(builder: R1CSBuilder,
     num_rounds_y = log2_strict(key.num_cols_total())
 
     tau = transcript.challenge_vector(num_rounds_x)
-    eq_tau = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, t.v)
-                                        for t in tau])
+    eq_tau = mle.eq_evals_device(spec, tau)
     az, bz, cz = compute_spartan_matrices(builder, non_uniform, polys, T,
                                           spec)
     if mesh is not None:
@@ -727,10 +726,8 @@ def spartan_prove(builder: R1CSBuilder,
 
     n_prefix = log2_strict(next_power_of_two(key.num_vars)) + 1
     r_col_step = r_inner[n_prefix:]
-    chi = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v)
-                                     for v in r_col_step])
-    witness_evals = [FElt(fd.to_int(spec, mle.evaluate_device(spec, p, chi)),
-                          spec) for p in polys]
+    chi = mle.eq_evals_device(spec, r_col_step)
+    witness_evals = mle.evaluate_many_host(spec, polys, chi)
     opening_accumulator.append(polys, chi, r_col_step, witness_evals,
                                transcript)
     return UniformSpartanProof(outer_proof, (claim_az, claim_bz, claim_cz),

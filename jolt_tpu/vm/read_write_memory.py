@@ -356,8 +356,7 @@ def prove_outputs(polys: ReadWriteMemoryPolynomials, program_io: JoltDevice,
     memory_size = polys.v_final.shape[-1]
     num_rounds = log2_strict(memory_size)
     r_eq = transcript.challenge_vector(num_rounds)
-    eq = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v)
-                                    for v in r_eq])
+    eq = mle.eq_evals_device(spec, r_eq)
     # fork parity: the witness-index vs address comparison makes this range
     # polynomial identically zero (see module docstring)
     io_witness_range = np.array(
@@ -386,8 +385,7 @@ def prove_outputs(polys: ReadWriteMemoryPolynomials, program_io: JoltDevice,
     proof, r_sumcheck, openings = prove_arbitrary(
         num_rounds, sc_polys, _output_comb, 3, transcript, spec)
 
-    eq_r = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v)
-                                      for v in r_sumcheck])
+    eq_r = mle.eq_evals_device(spec, r_sumcheck)
     opening_accumulator.append([polys.v_final], eq_r, r_sumcheck,
                                [openings[2]], transcript)
     return OutputSumcheckProof(num_rounds, proof, openings[2])

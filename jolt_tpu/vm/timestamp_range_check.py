@@ -162,13 +162,11 @@ def prove_timestamp_validity(ts_polys: TimestampRangeCheckPolynomials,
     gp_proof, r_grand_product = circuit.prove(transcript)
 
     # openings at r_grand_product (ACTIVE, timestamp_range_check.rs:595-660)
-    eq_r = mle.eq_evals_device(spec, [fd.scalar_to_device(spec, v.v)
-                                      for v in r_grand_product])
+    eq_r = mle.eq_evals_device(spec, r_grand_product)
     rw_polys_list = ts_polys.read_write_values()
     t_read_list = [fd.col(rwm_polys.t_read, i) for i in range(NUM_CH)]
     all_polys = rw_polys_list + t_read_list
-    openings = [FElt(fd.to_int(spec, mle.evaluate_device(spec, p, eq_r)), spec)
-                for p in all_polys]
+    openings = mle.evaluate_many_host(spec, all_polys, eq_r)
     opening_accumulator.append(all_polys, eq_r, r_grand_product, openings,
                                transcript)
     return TimestampValidityProof(multiset_hashes, openings[:4 * NUM_CH],
