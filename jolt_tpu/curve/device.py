@@ -25,7 +25,7 @@ import numpy as np
 
 from ..field import device as fd
 from ..field.spec import FieldSpec, fq_spec, fr_spec, LIMB_BITS
-from .bn254 import G1Affine, G1Jacobian
+from .bn254 import G1Affine, G1Jacobian, Q as Q_INT
 
 FQ = fq_spec()
 FR = fr_spec()
@@ -130,6 +130,50 @@ def jac_add(p1, p2):
     Y3 = fd.fselect(p2_inf, Y1, fd.fselect(p1_inf, Y2, Y3))
     Z3 = fd.fselect(p2_inf, Z1, fd.fselect(p1_inf, Z2, Z3))
     return X3, Y3, Z3
+
+
+def proj_cadd(p1, p2):
+    """COMPLETE projective addition (a=0, b3=9; Renes–Costello–Batina 2016
+    Alg. 7): 12 muls, no branches — identity (0:1:0), doubling and inverse
+    inputs all come out right.  The MSM accumulate path uses this instead
+    of the branched Jacobian add (~20 muls + select cascades)."""
+    if _point_pallas(*p1, *p2):
+        from .pallas_point import proj_cadd_pallas
+        return proj_cadd_pallas(FQ, p1, p2)
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    b3 = lambda t: _add(_dbl_f(_dbl_f(_dbl_f(t))), t)      # 9t
+    t0 = _mul(X1, X2)
+    t1 = _mul(Y1, Y2)
+    t2 = _mul(Z1, Z2)
+    t3 = _sub(_mul(_add(X1, Y1), _add(X2, Y2)), _add(t0, t1))
+    t4 = _sub(_mul(_add(Y1, Z1), _add(Y2, Z2)), _add(t1, t2))
+    X3 = _mul(_add(X1, Z1), _add(X2, Z2))
+    Y3 = _sub(X3, _add(t0, t2))
+    t0 = _add(_dbl_f(t0), t0)
+    t2 = b3(t2)
+    Z3 = _add(t1, t2)
+    t1 = _sub(t1, t2)
+    Y3 = b3(Y3)
+    X3 = _sub(_mul(t3, t1), _mul(t4, Y3))
+    Y3 = _add(_mul(Y3, t0), _mul(t1, Z3))
+    Z3 = _add(_mul(Z3, t4), _mul(t0, t3))
+    return X3, Y3, Z3
+
+
+def proj_to_host_jac(X, Y, Z) -> list[G1Jacobian]:
+    """Projective (X:Y:Z) -> host Jacobians (X·Z, Y·Z², Z) — no inversions."""
+    xi = fd.device_to_ints(FQ, X).ravel()
+    yi = fd.device_to_ints(FQ, Y).ravel()
+    zi = fd.device_to_ints(FQ, Z).ravel()
+    out = []
+    for a, b, c in zip(xi, yi, zi):
+        a, b, c = int(a), int(b), int(c)
+        if c == 0:
+            out.append(G1Jacobian.identity())
+        else:
+            out.append(G1Jacobian(a * c % Q_INT, b * c * c % Q_INT, c))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -348,20 +392,26 @@ MSM_SEGMENT = 1 << 16  # points per tree-sum dispatch (bounds the [L, K, N]
 # program (one Mosaic point-kernel geometry) serves every chunk of every
 # commit, instead of one unrolled log-depth tree program per (K, n) whose
 # fresh Mosaic compiles cost minutes through the tunnel (docs/PERF.md)
-MSM_FOLD_SEG = 4096
-MSM_FOLD_TAIL = 32
+import os as _os
+
+MSM_FOLD_SEG = int(_os.environ.get("JOLT_MSM_FOLD_SEG", 8192))
+MSM_FOLD_TAIL = int(_os.environ.get("JOLT_MSM_FOLD_TAIL", 64))
 
 
 @jax.jit
 def _msm_fold_seg(px, py, pz, masks, acc, off):
-    """Fold points [off, off+SEG) of every channel into acc.
+    """Fold points [off, off+SEG) of every channel into acc (PROJECTIVE
+    accumulator, complete adds — 12 muls/add, no branch selects).
 
-    px/py/pz: [L, N] Jacobian; masks: [K, N] bool; acc: ([L, K, TAIL],)*3;
-    off: traced int32.  Returns the updated acc."""
+    px/py/pz: [L, N] Jacobian Z∈{0,R} (affine SRS; Z=0 ⇔ infinity);
+    masks: [K, N] bool; acc: projective ([L, K, TAIL],)*3; off: traced
+    int32.  Masked-out or infinity points enter as the projective
+    identity (0:1:0)."""
     K = masks.shape[0]
     Lq = px.shape[0]
     T = MSM_FOLD_TAIL
     S = MSM_FOLD_SEG // T
+    one = jnp.asarray([int(v) for v in FQ.r_limbs], jnp.uint32)
     sl = tuple(jax.lax.dynamic_slice_in_dim(t, off, MSM_FOLD_SEG, axis=-1)
                for t in (px, py, pz))
     m = jax.lax.dynamic_slice_in_dim(masks, off, MSM_FOLD_SEG, axis=-1)
@@ -370,14 +420,38 @@ def _msm_fold_seg(px, py, pz, masks, acc, off):
 
     def body(carry, inp):
         sx, sy, sz, mk = inp                               # [L, T], [K, T]
-        X = jnp.broadcast_to(sx[:, None, :], (Lq, K, T))
-        Y = jnp.broadcast_to(sy[:, None, :], (Lq, K, T))
-        Z = jnp.where(mk[None], jnp.broadcast_to(sz[:, None, :], X.shape),
+        live = mk[None] & jnp.any(sz != 0, axis=0)[None, None, :]
+        X = jnp.where(live, jnp.broadcast_to(sx[:, None, :], (Lq, K, T)),
                       jnp.uint32(0))
-        return jac_add(carry, (X, Y, Z)), None
+        Y = jnp.where(live, jnp.broadcast_to(sy[:, None, :], (Lq, K, T)),
+                      jnp.broadcast_to(one[:, None, None], (Lq, K, T)))
+        Z = jnp.where(live, jnp.broadcast_to(sz[:, None, :], (Lq, K, T)),
+                      jnp.uint32(0))
+        return proj_cadd(carry, (X, Y, Z)), None
 
     acc, _ = jax.lax.scan(body, acc, steps + (msteps,))
     return acc
+
+
+@jax.jit
+def _proj_from_jac(px, pz):
+    """Jacobian (X, Y, Z) -> projective (X*Z : Y : Z^3); Y unchanged."""
+    return _mul(px, pz), _mul(pz, _sq(pz))
+
+
+_proj_from_jac_jit = _proj_from_jac
+
+
+@jax.jit
+def _proj_tail_fold(acc):
+    """Tree-reduce the projective accumulator [L, K, T] -> [L, K]."""
+    X, Y, Z = acc
+    while X.shape[-1] > 1:
+        h = X.shape[-1] // 2
+        lo = (X[..., :h], Y[..., :h], Z[..., :h])
+        hi = (X[..., h:], Y[..., h:], Z[..., h:])
+        X, Y, Z = proj_cadd(lo, hi)
+    return X[..., 0], Y[..., 0], Z[..., 0]
 
 
 def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
@@ -400,19 +474,18 @@ def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
             acc[k] = a
         return acc
     T = MSM_FOLD_TAIL
+    # jacobian SRS -> projective once: (X, Y, Z)_jac == (X*Z : Y : Z^3)_proj
+    # (2 muls/point, one pass; the complete-add fold then runs at 12
+    # muls/add with no branch selects)
+    px, pz = _proj_from_jac_jit(px, pz)
     zero = jnp.zeros((px.shape[0], K, T), jnp.uint32)
-    acc = (zero, zero, zero)                 # Z = 0: the group identity
+    one = jnp.asarray([int(v) for v in FQ.r_limbs], jnp.uint32)
+    ones = jnp.broadcast_to(one[:, None, None], zero.shape)
+    acc = (zero, ones, zero)             # (0:1:0): the projective identity
     for off in range(0, N, MSM_FOLD_SEG):
         acc = _msm_fold_seg(px, py, pz, masks, acc, np.int32(off))
-    sx, sy, sz = acc
-    parts = jacobian_to_host(sx, sy, sz)     # K*T, channel-major
-    out = []
-    for k in range(K):
-        a = G1Jacobian.identity()
-        for p in parts[k * T: (k + 1) * T]:
-            a = a.add(p)
-        out.append(a)
-    return out
+    sx, sy, sz = _proj_tail_fold(acc)    # device tree: [L, K, T] -> [L, K]
+    return proj_to_host_jac(sx, sy, sz)
 
 
 def scalar_max_bits(canonical_limbs: jnp.ndarray) -> int:
@@ -500,7 +573,7 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec,
     # instead of one per poly length (zero scalars set no bit-plane masks
     # and no channels, so commitments are unchanged)
     def _bucket(n: int) -> int:
-        b = 1 << max(12, (n - 1).bit_length())
+        b = 1 << max(MSM_FOLD_SEG.bit_length() - 1, (n - 1).bit_length())
         return min(b, n_pts) if n_pts >= n else n
 
     by_len: dict[int, list[int]] = {}

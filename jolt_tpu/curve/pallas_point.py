@@ -100,6 +100,70 @@ def _jac_add_core(P1, P2, mul, add, sub, dbl):
     return X3, Y3, Z3
 
 
+def _cadd_core(P1, P2, mul, add, sub, dbl):
+    """COMPLETE projective addition for a=0, b3=9 (Renes–Costello–Batina
+    2016, Algorithm 7).  No exceptional cases: identity is (0:1:0),
+    doubling and inverse inputs come out right without branches — 12 muls
+    vs the branched Jacobian add's ~20 + select cascades."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    b3 = lambda t: add(dbl(dbl(dbl(t))), t)          # 9t = 8t + t
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(Y1, Z1), add(Y2, Z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mul(add(X1, Z1), add(X2, Z2))
+    Y3 = sub(X3, add(t0, t2))
+    t0 = add(dbl(t0), t0)
+    t2 = b3(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = b3(Y3)
+    X3 = sub(mul(t3, t1), mul(t4, Y3))
+    Y3 = add(mul(Y3, t0), mul(t1, Z3))
+    Z3 = add(mul(Z3, t4), mul(t0, t3))
+    return X3, Y3, Z3
+
+
+def _proj_cadd_kernel(x1, y1, z1, x2, y2, z2, coll_ref, rowcnt_ref, mnp_ref,
+                      mp_ref, p_ref, ox, oy, oz):
+    mb = x1.shape[-1]
+    coll = _coll_arg(coll_ref, rowcnt_ref)
+    p_l = jnp.broadcast_to(p_ref[:].reshape(L, 1), (L, mb))
+    ops = _point_ops(coll, p_l, mnp_ref[:], mp_ref[:])
+    X3, Y3, Z3 = _cadd_core((x1[:], y1[:], z1[:]),
+                            (x2[:], y2[:], z2[:]), *ops)
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+
+
+@functools.lru_cache(maxsize=None)
+def _proj_cadd_call(spec: FieldSpec, n: int):
+    blk = pl.BlockSpec((L, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        _proj_cadd_kernel,
+        interpret=_INTERPRET,
+        out_shape=(out, out, out),
+        grid=(n // NB,),
+        in_specs=[blk] * 6 + _const_specs(),
+        out_specs=(blk, blk, blk),
+    )
+
+
+def proj_cadd_pallas(spec: FieldSpec, p1, p2):
+    """Fused complete projective add of ([L, *b],)*3 coordinate triples."""
+    tensors, shape, batch, n = _flatten_pad(spec, list(p1) + list(p2))
+    consts = _consts(spec)
+    ox, oy, oz = _proj_cadd_call(spec, n)(*tensors, *consts)
+    unpack = lambda t: t[:, :batch].reshape(shape)
+    return unpack(ox), unpack(oy), unpack(oz)
+
+
 def _jac_add_kernel(x1, y1, z1, x2, y2, z2, coll_ref, rowcnt_ref, mnp_ref,
                     mp_ref, p_ref, ox, oy, oz):
     mb = x1.shape[-1]
