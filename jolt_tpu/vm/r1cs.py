@@ -427,9 +427,15 @@ class UniformSpartanKey:
 
     def _digest(self) -> FElt:
         """Key digest (key.rs:397-430).  Deterministic commitment to the
-        constraint system; our canonical serialization (Keccak over the
-        sparse triples) differs from the reference's ark-serialize bytes but
-        plays the same binding role."""
+        constraint system.  Default: Keccak over a canonical serialization
+        of the sparse triples.  JOLT_REFERENCE_PARITY=1 switches to the
+        reference's exact byte recipe — ark CanonicalSerialize-compressed
+        UniformR1CS ‖ NonUniformR1CS ‖ num_steps u64 BE, hashed with
+        SHA3-256 and mapped to the field via the low 250 bits LE
+        (key.rs:397-428)."""
+        import os
+        if os.environ.get("JOLT_REFERENCE_PARITY", "") not in ("", "0"):
+            return self._digest_ark_parity()
         h = b""
         for a, b, c in self.constraints:
             for lc in (a, b, c):
@@ -438,6 +444,64 @@ class UniformSpartanKey:
                 h += (lc.const % self.spec.p).to_bytes(32, "little")
         h += self.num_steps.to_bytes(8, "big")
         digest = keccak256(h)
+        return FElt(int.from_bytes(digest, "little") & ((1 << 250) - 1),
+                    self.spec)
+
+    def _digest_ark_parity(self) -> FElt:
+        """Reference-exact digest bytes (key.rs:397-428 + builder.rs
+        materialize/materialize_offset_eq, ark-serialize compressed):
+
+          UniformR1CS { a, b, c: SparseConstraints { vars: Vec<(u64, u64,
+          Fr)>, consts: Vec<(u64, Fr)> }, num_vars: u64, num_rows: u64 }
+          ‖ NonUniformR1CS { constraints: Vec<{ eq, condition:
+          SparseEqualityItem { offset_vars: Vec<(u64, bool, Fr)>,
+          constant: Fr } }> } ‖ num_steps u64 BE
+
+        ark compressed: Vec = u64 LE length + elements, usize = u64 LE,
+        bool = 1 byte, Fr = 32-byte LE canonical.  digest = SHA3-256;
+        field value = sum_i bit_i 2^i over the low 250 bits (= LE int
+        & (2^250 - 1)).  Term order within each LC follows the builder's
+        construction order, mirroring constraints.rs."""
+        import hashlib
+        p = self.spec.p
+        fr = lambda v: (v % p).to_bytes(32, "little")
+        u64 = lambda v: int(v).to_bytes(8, "little")
+
+        def sparse(matrix_idx: int) -> bytes:
+            var_rows = []
+            const_rows = []
+            for row, cons in enumerate(self.constraints):
+                lc = cons[matrix_idx]
+                for v, co in lc.terms:
+                    var_rows.append(u64(row) + u64(v) + fr(co))
+                if lc.const:
+                    const_rows.append(u64(row) + fr(lc.const))
+            return (u64(len(var_rows)) + b"".join(var_rows)
+                    + u64(len(const_rows)) + b"".join(const_rows))
+
+        out = sparse(0) + sparse(1) + sparse(2)
+        out += u64(self.num_vars) + u64(self.num_rows)
+
+        def eq_item(offset_vars, constant) -> bytes:
+            body = b"".join(u64(v) + bytes([int(off)]) + fr(co)
+                            for v, off, co in offset_vars)
+            return u64(len(offset_vars)) + body + fr(constant)
+
+        nu = u64(len(self.non_uniform))
+        for oc in self.non_uniform:
+            # eq: a's terms (flag a_offset) then (-b)'s terms (flag
+            # b_offset); constant from -b (builder.rs:576-637)
+            a_lc, a_off = oc.a
+            b_lc, b_off = oc.b
+            cond_lc, cond_off = oc.cond
+            ov = [(v, a_off, co) for v, co in a_lc.terms] + \
+                 [(v, b_off, -co) for v, co in b_lc.terms]
+            nu += eq_item(ov, -b_lc.const)
+            nu += eq_item([(v, cond_off, co) for v, co in cond_lc.terms],
+                          cond_lc.const)
+        out += nu
+        out += self.num_steps.to_bytes(8, "big")
+        digest = hashlib.sha3_256(out).digest()
         return FElt(int.from_bytes(digest, "little") & ((1 << 250) - 1),
                     self.spec)
 
