@@ -33,6 +33,25 @@ def test_fibonacci_e2e_mock():
               debug_accumulator=prover_acc)
 
 
+def test_fibonacci_e2e_reference_parity_mode(monkeypatch):
+    """e2e prove+verify green under JOLT_REFERENCE_PARITY=1 (the
+    ark-serialize+SHA3 vk_digest mode, key.rs:397-428): the digest flows
+    through the Fiat-Shamir preamble consistently on both sides."""
+    monkeypatch.setenv("JOLT_REFERENCE_PARITY", "1")
+    spec = fr_spec()
+    vm = mini_vm([AddInstruction, BneInstruction],
+                 [TruncateOverflowSubtable(32), IdentitySubtable(),
+                  EqSubtable()],
+                 M_mini=1 << 8, spec=spec)
+    steps, device, bytecode_rows = trace_program(
+        fibonacci_program(3), vm, max_input_size=32, max_output_size=32)
+    pcs = MockCommitmentScheme(spec)
+    pre = vm.preprocess(bytecode_rows, pcs)
+    proof, commitments, pt, pacc = vm.prove(device, steps, pre)
+    vm.verify(pre, proof, commitments, debug_transcript=pt,
+              debug_accumulator=pacc)
+
+
 def test_fibonacci_e2e_hyperkzg_serialization_roundtrip():
     """fib_e2e_hyperkzg analog + Serializable save/load parity
     (rv32i_vm.rs:193-235): serialize proof+commitments, deserialize, verify."""
