@@ -59,8 +59,44 @@ def _keccak_f(state: list[int]) -> None:
 
 _RATE = 136  # bytes, for 256-bit output
 
+# Native fast path: the verifier replays ~10k transcript events per
+# full-VM proof; the C implementation is ~1000x the pure-Python
+# permutation (jolt_tpu/native/keccak.cpp).  Falls back silently if the
+# toolchain is unavailable.  keccak256_py stays as the oracle.
+_NATIVE = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            import ctypes
+
+            from ..native import _compile
+            lib = ctypes.CDLL(_compile("keccak.cpp", "libjolt_keccak"))
+            lib.jolt_keccak256.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                           ctypes.c_char_p]
+            lib.jolt_keccak256.restype = None
+
+            def fast(data: bytes) -> bytes:
+                out = ctypes.create_string_buffer(32)
+                lib.jolt_keccak256(data, len(data), out)
+                return out.raw
+
+            _NATIVE = fast
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
 
 def keccak256(data: bytes) -> bytes:
+    fast = _native()
+    if fast:
+        return fast(data)
+    return keccak256_py(data)
+
+
+def keccak256_py(data: bytes) -> bytes:
     state = [0] * 25
     # absorb with original Keccak padding 0x01 ... 0x80
     padded = bytearray(data)
