@@ -454,13 +454,15 @@ def _proj_tail_fold(acc):
     return X[..., 0], Y[..., 0], Z[..., 0]
 
 
-def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
-    """Masked sum per channel -> HOST Jacobians [K].
+def _masked_tree_sum_hosttail(px, py, pz, masks, defer_pull: bool = False):
+    """Masked sum per channel -> HOST Jacobians [K] (or, with
+    `defer_pull`, the un-pulled device projective triple [L, K] so the
+    caller can batch many chunks into one transfer).
 
     N >= MSM_FOLD_SEG (guaranteed by the bucketing in batch_msm_bitplane):
     the canonical scan-fold reduces each channel to MSM_FOLD_TAIL partials;
-    the host folds them (~K*TAIL bigint adds).  Small N falls back to the
-    unrolled tree (tiny compiles)."""
+    a device tree fold finishes.  Small N falls back to the unrolled tree
+    (tiny compiles)."""
     K, N = masks.shape
     if N < MSM_FOLD_SEG or N % MSM_FOLD_SEG:
         tail = max(1, min(_msm_host_tail(), N))
@@ -485,6 +487,8 @@ def _masked_tree_sum_hosttail(px, py, pz, masks) -> list[G1Jacobian]:
     for off in range(0, N, MSM_FOLD_SEG):
         acc = _msm_fold_seg(px, py, pz, masks, acc, np.int32(off))
     sx, sy, sz = _proj_tail_fold(acc)    # device tree: [L, K, T] -> [L, K]
+    if defer_pull:
+        return (sx, sy, sz)
     return proj_to_host_jac(sx, sy, sz)
 
 
@@ -614,6 +618,7 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec,
             channels += [(slot, b) for b in range(max(1, msb))]
         sums: dict[int, list[G1Jacobian]] = {j: [] for j in idxs}
         K = MSM_CHANNEL_CHUNK
+        pending = []          # (group, device (X, Y, Z) [L, K]) per chunk
         for lo in range(0, len(channels), K):
             group = channels[lo: lo + K]
             pad = K - len(group)
@@ -624,8 +629,26 @@ def batch_msm_bitplane(points_jac, scalars_mont: list, spec_fr: FieldSpec,
                                     (bits % LIMB_BITS).astype(np.uint32),
                                     valid)
             masks = _shard_pts((masks,))[0]
-            pts = _masked_tree_sum_hosttail(pxn, pyn, pzn, masks)
-            _mark(f"chunk {lo // K} tree+fold")
+            res = _masked_tree_sum_hosttail(pxn, pyn, pzn, masks,
+                                            defer_pull=True)
+            _mark(f"chunk {lo // K} tree+fold enqueue")
+            pending.append((group, res))
+        # ONE pull for every chunk's [L, K] channel sums (per-chunk pulls
+        # cost ~30ms each through the tunnel)
+        dev_chunks = [res for _, res in pending
+                      if not isinstance(res, list)]
+        if dev_chunks:
+            stacked = tuple(jnp.concatenate([r[i] for r in dev_chunks],
+                                            axis=-1) for i in range(3))
+            flat_pts = proj_to_host_jac(*stacked)
+            _mark(f"n={n} batched pull")
+        di = 0
+        for group, res in pending:
+            if isinstance(res, list):
+                pts = res
+            else:
+                pts = flat_pts[di * K: (di + 1) * K]
+                di += 1
             for (slot, _b), p in zip(group, pts):
                 sums[idxs[slot]].append(p)
         for j in idxs:
