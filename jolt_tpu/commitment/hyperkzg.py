@@ -133,9 +133,13 @@ class HyperKZG:
         FOLD_BUCKET = 4096
         cur = poly
         polys = [poly]
+        # ONE packed upload for every fold challenge (per-scalar transfers
+        # cost ~11ms each through the tunnel)
+        if ell > 1:
+            r_folds = fd.ints_to_device(
+                spec, [point[ell - i - 1].v for i in range(ell - 1)])
         for i in range(ell - 1):
-            r_fold = fd.scalar_to_device(spec, point[ell - i - 1].v)
-            cur = bind_bot(spec, cur, r_fold)
+            cur = bind_bot(spec, cur, fd.col(r_folds, i))
             if cur.shape[-1] < min(FOLD_BUCKET, poly.shape[-1]):
                 cur = jnp.pad(cur, ((0, 0), (0, cur.shape[-1])))
             polys.append(cur)
@@ -152,7 +156,32 @@ class HyperKZG:
         """(hyperkzg.rs:158-199)."""
         spec = self.spec
         k = len(polys)
-        v = [[poly_eval_device(f, uj) for f in polys] for uj in u]
+        # all 3k evaluations with ONE eval-point upload + ONE value pull
+        # (poly_eval_device costs an upload + a pull per call, ~25ms each
+        # through the tunnel; an open has 3*(ell+1) of them)
+        from ..commitment.kzg import FR, _powers_device
+        u_dev = fd.ints_to_device(spec, [x.v for x in u])     # [L, 3]
+        by_shape: dict[int, list[int]] = {}
+        for i, f in enumerate(polys):
+            by_shape.setdefault(f.shape[-1], []).append(i)
+        pend = []
+        for n, idxs in by_shape.items():
+            stacked = jnp.stack([polys[i] for i in idxs], axis=1)
+            for j in range(len(u)):
+                upow = _powers_device(FR, fd.col(u_dev, j), n)
+                s = fd.fsum(spec, fd.fmul(spec, stacked, upow[:, None, :]),
+                            axis=-1)                          # [L, P]
+                pend.append((j, idxs, s))
+        allv = fd.device_to_ints(
+            spec, jnp.concatenate([s for (_, _, s) in pend], axis=-1)
+        ).tolist()
+        vals: dict[tuple[int, int], FElt] = {}
+        pos = 0
+        for j, idxs, _ in pend:
+            for i in idxs:
+                vals[(j, i)] = FElt(int(allv[pos]), spec)
+                pos += 1
+        v = [[vals[(j, i)] for i in range(k)] for j in range(len(u))]
         transcript.append_scalars([x for row in v for x in row])
         q_powers = transcript.challenge_scalar_powers(k)
         B = rlc_polys(spec, polys, q_powers, pad_to=polys[0].shape[-1])
