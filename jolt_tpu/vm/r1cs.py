@@ -368,16 +368,60 @@ def build_jolt_constraints(layout: list[str], C: int, memory_start: int,
 # device LC evaluation + aux computation
 # ---------------------------------------------------------------------------
 
+class _CoeffTable:
+    """One packed upload of every distinct LC coefficient/constant of a
+    constraint system (per-scalar uploads cost ~11ms each through the
+    tunnel; a Spartan matrix build touches ~1000 terms)."""
+
+    def __init__(self, spec: FieldSpec, values):
+        self.spec = spec
+        uniq = sorted({v % spec.p for v in values})
+        self.index = {v: i for i, v in enumerate(uniq)}
+        self.dev = fd.ints_to_device(spec, uniq) if uniq \
+            else fd.zeros(spec, (1,))
+
+    def col(self, value: int) -> jnp.ndarray:
+        return fd.col(self.dev, self.index[value % self.spec.p])
+
+
+def _coeff_table_for(spec: FieldSpec, builder, non_uniform=()) -> _CoeffTable:
+    vals = []
+    for cons in builder.constraints:
+        for lc in cons:
+            vals += [c for _, c in lc.terms] + [lc.const]
+    for comp in builder.aux_computations.values():
+        for lc in comp.inputs:
+            vals += [c for _, c in lc.terms] + [lc.const]
+    for oc in non_uniform:
+        for lc, _off in (oc.cond, oc.a, oc.b):
+            vals += [c for _, c in lc.terms] + [lc.const]
+    return _CoeffTable(spec, vals)
+
+
 def _lc_eval_dev(spec: FieldSpec, lc: LC, polys: list[jnp.ndarray],
-                 T: int) -> jnp.ndarray:
+                 T: int, ctab: _CoeffTable | None = None) -> jnp.ndarray:
     acc = None
+    neg = []
     for v, c in lc.terms:
-        coeff = fd.scalar_to_device(spec, c % spec.p)
-        term = fd.fmul(spec, polys[v],
-                       jnp.broadcast_to(coeff[:, None], polys[v].shape))
+        cm = c % spec.p
+        # +-1 fast path: most constraint coefficients are unit — an add
+        # or subtract instead of a broadcast field multiply
+        if cm == 1:
+            term = polys[v]
+        elif cm == spec.p - 1:
+            neg.append(polys[v])
+            continue
+        else:
+            coeff = ctab.col(c) if ctab is not None \
+                else fd.scalar_to_device(spec, cm)
+            term = fd.fmul(spec, polys[v],
+                           jnp.broadcast_to(coeff[:, None], polys[v].shape))
         acc = term if acc is None else fd.fadd(spec, acc, term)
+    for t in neg:
+        acc = fd.fneg(spec, t) if acc is None else fd.fsub(spec, acc, t)
     if lc.const % spec.p != 0 or acc is None:
-        cst = fd.scalar_to_device(spec, lc.const % spec.p)
+        cst = ctab.col(lc.const) if ctab is not None \
+            else fd.scalar_to_device(spec, lc.const % spec.p)
         cst = jnp.broadcast_to(cst[:, None], (fd.L, T))
         acc = cst if acc is None else fd.fadd(spec, acc, cst)
     return acc
@@ -387,9 +431,11 @@ def compute_aux(builder: R1CSBuilder, polys: list[jnp.ndarray | None], T: int,
                 spec: FieldSpec) -> None:
     """Fill aux polynomials in index order (builder.rs:544-550)."""
     one_mont = fd.ones(spec, (T,))
+    ctab = _coeff_table_for(spec, builder)
     for aux_index in sorted(builder.aux_computations.keys()):
         comp = builder.aux_computations[aux_index]
-        vals = [_lc_eval_dev(spec, lc, polys, T) for lc in comp.inputs]
+        vals = [_lc_eval_dev(spec, lc, polys, T, ctab)
+                for lc in comp.inputs]
         if comp.kind == "prod":
             polys[aux_index] = fd.fmul(spec, vals[0], vals[1])
         else:  # if_else: condition == 1 ? true : false
@@ -678,40 +724,39 @@ def compute_spartan_matrices(builder: R1CSBuilder,
     (constraint-major) layout, offset-eq rows after the uniform rows."""
     nc = len(builder.constraints)
     R = next_power_of_two(T * (nc + len(non_uniform)))
-    az = fd.zeros(spec, (R,))
-    bz = fd.zeros(spec, (R,))
-    cz = fd.zeros(spec, (R,))
-    for ci, (a, b, c) in enumerate(builder.constraints):
-        lo = ci * T
-        for lc, dst in ((a, "a"), (b, "b"), (c, "c")):
+    # ONE packed upload of every coefficient, and the row blocks assemble
+    # by a single concatenate per matrix — the old per-block .at[].set
+    # copied the whole [L, R] buffer per constraint (~150 copy programs)
+    ctab = _coeff_table_for(spec, builder, non_uniform)
+    zero_block = fd.zeros(spec, (T,))
+    az_blocks, bz_blocks, cz_blocks = [], [], []
+    for a, b, c in builder.constraints:
+        for lc, blocks in ((a, az_blocks), (b, bz_blocks), (c, cz_blocks)):
             if not lc.terms and lc.const == 0:
-                continue
-            vals = _lc_eval_dev(spec, lc, polys, T)
-            if dst == "a":
-                az = az.at[:, lo:lo + T].set(vals)
-            elif dst == "b":
-                bz = bz.at[:, lo:lo + T].set(vals)
+                blocks.append(zero_block)
             else:
-                cz = cz.at[:, lo:lo + T].set(vals)
+                blocks.append(_lc_eval_dev(spec, lc, polys, T, ctab))
 
     def eval_offset(lc: LC, is_offset: bool) -> jnp.ndarray:
-        vals = _lc_eval_dev(spec, lc, polys, T)
+        vals = _lc_eval_dev(spec, lc, polys, T, ctab)
         if is_offset:
             # value at step+1; final step sees only the constant term
-            const = fd.scalar_to_device(spec, lc.const % spec.p)
+            const = ctab.col(lc.const)
             tail = jnp.broadcast_to(const[:, None], (fd.L, 1))
             vals = jnp.concatenate([vals[..., 1:], tail], axis=-1)
         return vals
 
-    base = nc * T
-    for i, oc in enumerate(non_uniform):
+    for oc in non_uniform:
         a_vals = eval_offset(oc.a[0], oc.a[1])
         b_vals = eval_offset(oc.b[0], oc.b[1])
-        az_vals = fd.fsub(spec, a_vals, b_vals)
-        cond_vals = eval_offset(oc.cond[0], oc.cond[1])
-        lo = base + i * T
-        az = az.at[:, lo:lo + T].set(az_vals)
-        bz = bz.at[:, lo:lo + T].set(cond_vals)
+        az_blocks.append(fd.fsub(spec, a_vals, b_vals))
+        bz_blocks.append(eval_offset(oc.cond[0], oc.cond[1]))
+        cz_blocks.append(zero_block)
+    pad = (R - T * (nc + len(non_uniform))) // T
+    tail_blocks = [zero_block] * pad
+    az = jnp.concatenate(az_blocks + tail_blocks, axis=-1)
+    bz = jnp.concatenate(bz_blocks + tail_blocks, axis=-1)
+    cz = jnp.concatenate(cz_blocks + tail_blocks, axis=-1)
     return az, bz, cz
 
 
