@@ -131,6 +131,57 @@ def _pair_tree_level(spec: FieldSpec, l: jnp.ndarray, r: jnp.ndarray):
     return prod[..., : s // 2], prod[..., s // 2:]
 
 
+def _pair_tree_level_masked(spec: FieldSpec, l, r, half):
+    """Masked tree level at a FIXED buffer size: inputs [B, L, Sb] with
+    active pair-side s = 2*half (zeros beyond); outputs the next level
+    (l', r') = halves of the product, active `half`, same buffer.  ONE
+    compiled program per (B, Sb) serves every level in the size class —
+    the per-shape `_pair_tree_level` chain was ~log2(n) programs per GP
+    instance (~0.3-1.5 s per-process load each through the tunnel)."""
+    Sb = l.shape[-1]
+    if fd._pallas_backend() and Sb >= 512 and Sb % 512 == 0:
+        from ..field.pallas_mont import mont_mul_bl_pallas
+        prod = mont_mul_bl_pallas(spec, l, r)
+    else:
+        prod = jnp.moveaxis(
+            fd.fmul(spec, jnp.moveaxis(l, 0, 1), jnp.moveaxis(r, 0, 1)),
+            0, 1)
+    mask = jnp.arange(Sb, dtype=jnp.int32) < half
+    l2 = jnp.where(mask, prod, jnp.uint32(0))
+    r2 = jnp.where(mask, jnp.roll(prod, -half, axis=-1), jnp.uint32(0))
+    return l2, r2
+
+
+_pair_tree_level_m_jit = jax.jit(_pair_tree_level_masked, static_argnums=0)
+
+# size-class ladder step for the chained tree: buffers shrink by 8x when
+# the active size crosses a class boundary (<= 1.8x memory vs true sizes;
+# 2 slice programs per (B, S) instead of one pad per level)
+_TREE_CLASS_STEP = 8
+
+
+def _build_pair_tree_classed(spec: FieldSpec, leaves: jnp.ndarray) -> list:
+    """Chained-prover tree construct: every level lives in a class-sized
+    masked buffer; one masked level program per (B, class)."""
+    l, r = _interleaved_to_pair(spec, leaves)
+    S = l.shape[-1]
+    layers = [(l, r)]
+    s = S
+    while s > 1:
+        half = s // 2
+        cur = l.shape[-1]
+        l, r = _pair_tree_level_m_jit(spec, l, r, np.int32(half))
+        new = cur
+        while new // _TREE_CLASS_STEP >= max(half, 1) \
+                and new // _TREE_CLASS_STEP >= 1:
+            new //= _TREE_CLASS_STEP
+        if new < cur:
+            l, r = l[..., :new], r[..., :new]
+        layers.append((l, r))
+        s = half
+    return layers
+
+
 def _bcast_coeffs(coeffs: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     """coeffs [L, B] -> broadcast to [L, B, m]."""
     return jnp.broadcast_to(coeffs[:, :, None], like.shape)
@@ -444,8 +495,9 @@ def _build_pair_tree(spec: FieldSpec, leaves: jnp.ndarray,
     tail = _tail_threshold() if host_tail is None else host_tail
     if host_tail is None and _use_chain():
         # chained proving keeps every layer device-resident (one pull per
-        # GP); host-tail layers would force a mid-chain sync
-        tail = 0
+        # GP) in class-sized masked buffers — no host-tail layers, no
+        # per-shape level/pad programs
+        return _build_pair_tree_classed(spec, leaves)
     layers = [_interleaved_to_pair(spec, leaves)]
     if tail and layers[0][0].shape[-1] <= tail:
         layers = [_pair_layer_to_host(spec, *layers[0])]
@@ -566,29 +618,34 @@ def _chain_prove_dense(spec: FieldSpec, layers: list, transcript: Transcript):
                          jnp.moveaxis(top_r[..., 0], 0, 1))  # [L, B]
     rs_dev = fd.zeros(spec, (K + 1,))
     masked = _use_masked_rounds()
-    s_canon = layers[0][0].shape[-1]
     fs_round = fsd.fs_cubic_round_jit(spec)
     pend = []
     for li in range(n_layers - 1, -1, -1):
         l, r = layers[li]
         layers[li] = None                 # release as consumed (HBM)
-        _s = l.shape[-1]
-        k = _s.bit_length() - 1           # rounds this layer
+        k = n_layers - 1 - li             # rounds this layer
+        _s = 1 << k                       # TRUE pair-side size (buffers
+        #                                   are class-padded >= _s)
         coeffs, state, nr = fsd.challenge_vector_dev(
             spec, state, nr, B, np.int32(B))
         prev = fsd.fold_claims_dev(spec, claims_dev, coeffs)
-        eq_full = fsd.eq_masked_br(spec, rs_dev[:, :K], np.int32(k)) \
-            if K > 0 else fd.ones(spec, (1,))
         if masked:
-            if _s < s_canon:
-                l = _pad_last(spec, l, s_canon)
-                r = _pad_last(spec, r, s_canon)
-            eq = eq_full
+            # per-class eq buffer: the layer's class size is its buffer
+            C = l.shape[-1]
+            Kc = C.bit_length() - 1
+            eq = fsd.eq_masked_br(spec, rs_dev[:, :Kc], np.int32(k)) \
+                if Kc > 0 else fd.ones(spec, (1,))
             evals_fn = lambda l_, r_, eq_, h_: _pair_cubic_evals_m_jit(
                 spec, l_, r_, eq_, coeffs, np.int32(h_))
             bind_fn = lambda l_, r_, eq_, rj, h_: _pair_bind_m_jit(
                 spec, l_, r_, eq_, rj, np.int32(h_))
         else:
+            # shrinking kernels need exact-size tensors: slice the class
+            # buffers to the active prefix (cheap XLA:CPU programs)
+            if l.shape[-1] > _s:
+                l, r = l[..., :_s], r[..., :_s]
+            eq_full = fsd.eq_masked_br(spec, rs_dev[:, :K], np.int32(k)) \
+                if K > 0 else fd.ones(spec, (1,))
             eq = eq_full[:, :_s] if K > 0 else eq_full
             evals_fn = lambda l_, r_, eq_, h_: _pair_cubic_evals(
                 spec, l_, r_, eq_, coeffs)
