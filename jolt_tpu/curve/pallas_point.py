@@ -236,7 +236,9 @@ def _flatten_pad(spec, tensors):
     batch = 1
     for s in shape[1:]:
         batch *= s
-    n = max(NB, -(-batch // NB) * NB)
+    # power-of-two flatten: point-op calls collapse onto ~16 canonical
+    # pallas geometries (see pallas_mont.mont_mul_pallas)
+    n = max(NB, 1 << (batch - 1).bit_length())
     flat = []
     for t in tensors:
         f = jnp.broadcast_to(t, shape).reshape(L, batch)

@@ -347,9 +347,33 @@ def _from_mont_chunk_jit(spec: FieldSpec, flat, off):
 
 
 def to_mont_device(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Canonical residue limbs -> Montgomery form, on device (mul by R^2)."""
+    """Canonical residue limbs -> Montgomery form, on device (mul by R^2).
+
+    Large tensors convert in fixed [L, 2^16] chunks through ONE compiled
+    program: a single fmul at an unusual flatten size is its own
+    XLA/Mosaic geometry, and the REMOTE per-process setup of a fresh big
+    geometry through the tunnel costs minutes (a [26, 2^16] subtable
+    conversion measured ~110 s/program — scripts/probe_preprocess.py)."""
+    batch = 1
+    for s in a.shape[1:]:
+        batch *= s
+    if not _traced(a) and batch > 2 * _FROM_MONT_CHUNK:
+        flat = a.reshape((a.shape[0], batch))
+        padded = -(-batch // _FROM_MONT_CHUNK) * _FROM_MONT_CHUNK
+        if padded != batch:
+            flat = jnp.pad(flat, ((0, 0), (0, padded - batch)))
+        parts = [_to_mont_chunk_jit(spec, flat, np.int32(off))
+                 for off in range(0, padded, _FROM_MONT_CHUNK)]
+        return jnp.concatenate(parts, axis=1)[:, :batch].reshape(a.shape)
     r2 = jnp.broadcast_to(_const_limbs(spec.r2_limbs, a.ndim - 1), a.shape)
     return fmul(spec, a, r2)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _to_mont_chunk_jit(spec: FieldSpec, flat, off):
+    sl = jax.lax.dynamic_slice_in_dim(flat, off, _FROM_MONT_CHUNK, axis=1)
+    r2 = jnp.broadcast_to(_const_limbs(spec.r2_limbs, 1), sl.shape)
+    return fmul(spec, sl, r2)
 
 
 def col(t: jnp.ndarray, i: int, axis: int = 1) -> jnp.ndarray:

@@ -257,7 +257,12 @@ def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray
         batch *= s
     af = a.reshape(L, batch)
     bf = jnp.broadcast_to(b, shape).reshape(L, batch)
-    n = max(NB, -(-batch // NB) * NB)
+    # pad the flatten to a POWER OF TWO (>= NB): every mont-mul in every
+    # program then maps onto ~16 canonical pallas geometries total.  A
+    # fresh geometry's per-process REMOTE setup through the tunnel costs
+    # up to minutes (docs/PERF.md round-4/5 cost model); <2x padded lanes
+    # execute in microseconds.
+    n = max(NB, 1 << (batch - 1).bit_length())
     if n != batch:
         pad = jnp.zeros((L, n - batch), dtype=jnp.uint32)
         af = jnp.concatenate([af, pad], axis=1)

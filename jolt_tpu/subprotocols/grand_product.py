@@ -139,13 +139,11 @@ def _pair_tree_level_masked(spec: FieldSpec, l, r, half):
     the per-shape `_pair_tree_level` chain was ~log2(n) programs per GP
     instance (~0.3-1.5 s per-process load each through the tunnel)."""
     Sb = l.shape[-1]
-    if fd._pallas_backend() and Sb >= 512 and Sb % 512 == 0:
-        from ..field.pallas_mont import mont_mul_bl_pallas
-        prod = mont_mul_bl_pallas(spec, l, r)
-    else:
-        prod = jnp.moveaxis(
-            fd.fmul(spec, jnp.moveaxis(l, 0, 1), jnp.moveaxis(r, 0, 1)),
-            0, 1)
+    # plain fmul over the moveaxis view: its power-of-two padded flatten
+    # shares the canonical mont-mul geometries (the batch-leading pallas
+    # variant would key a fresh geometry per (B, Sb))
+    prod = jnp.moveaxis(
+        fd.fmul(spec, jnp.moveaxis(l, 0, 1), jnp.moveaxis(r, 0, 1)), 0, 1)
     mask = jnp.arange(Sb, dtype=jnp.int32) < half
     l2 = jnp.where(mask, prod, jnp.uint32(0))
     r2 = jnp.where(mask, jnp.roll(prod, -half, axis=-1), jnp.uint32(0))

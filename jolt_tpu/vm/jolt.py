@@ -100,14 +100,18 @@ class JoltVM:
                    memory_init: bytes = b"",
                    min_bytecode_address: int = RAM_START_ADDRESS
                    ) -> JoltPreprocessing:
-        return JoltPreprocessing(
-            instruction_lookups=il.InstructionLookupsPreprocessing(
-                self.instruction_classes, self.subtable_order, self.C, self.M,
-                self.spec),
-            bytecode=bc.BytecodePreprocessing(bytecode_rows, self.spec),
-            read_write_memory=rwm.ReadWriteMemoryPreprocessing(
-                min_bytecode_address, memory_init),
-            pcs=pcs)
+        from ..utils.profiling import span
+        with span("preprocess::instruction_lookups"):
+            ilp = il.InstructionLookupsPreprocessing(
+                self.instruction_classes, self.subtable_order, self.C,
+                self.M, self.spec)
+        with span("preprocess::bytecode"):
+            bcp = bc.BytecodePreprocessing(bytecode_rows, self.spec)
+        with span("preprocess::read_write_memory"):
+            rwp = rwm.ReadWriteMemoryPreprocessing(min_bytecode_address,
+                                                   memory_init)
+        return JoltPreprocessing(instruction_lookups=ilp, bytecode=bcp,
+                                 read_write_memory=rwp, pcs=pcs)
 
     def _preamble(self, transcript: Transcript, program_io: JoltDevice,
                   trace_length: int) -> None:
