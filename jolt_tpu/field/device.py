@@ -448,6 +448,29 @@ def pack_u64(values: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=())
+def _u64_expand_jit(words: jnp.ndarray) -> jnp.ndarray:
+    """[2, *shape] u32 (lo, hi words) -> [L, *shape] 16-bit canonical limbs."""
+    lo, hi = words[0], words[1]
+    mask = jnp.uint32(0xFFFF)
+    limbs = [lo & mask, lo >> 16, hi & mask, hi >> 16]
+    limbs += [jnp.zeros_like(lo)] * (L - 4)
+    return jnp.stack(limbs)
+
+
+def u64_to_mont_device(spec: FieldSpec, vals: np.ndarray) -> jnp.ndarray:
+    """u64 host values -> Montgomery limb tensor with a COMPACT upload.
+
+    pack_u64 + jnp.asarray uploads the 16-limb expansion (8x the data);
+    through the ~MB/s tunnel a 26 x 2^16 subtable stack is 436 MB and
+    minutes of transfer.  This path ships 8 bytes/value and expands to
+    limbs on device."""
+    v = np.ascontiguousarray(np.asarray(vals, dtype=np.uint64))
+    words = np.stack([(v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                      (v >> np.uint64(32)).astype(np.uint32)])
+    return to_mont_device(spec, _u64_expand_jit(jnp.asarray(words)))
+
+
 def unpack_ints(limbs: np.ndarray) -> np.ndarray:
     """Canonical limb array uint32[L, *shape] -> numpy object array of ints."""
     limbs = np.asarray(limbs)

@@ -71,8 +71,8 @@ class SurgePreprocessing:
         # u64 entries for witness gathers + device Montgomery tables
         self.subtable_entries = np.stack(
             [s.materialize_entries(M) for s in self.subtable_list])  # [S, M]
-        self.subtable_dev = fd.to_mont_device(
-            self.spec, jnp.asarray(fd.pack_u64(self.subtable_entries)))  # [L, S, M]
+        self.subtable_dev = fd.u64_to_mont_device(
+            self.spec, self.subtable_entries)  # [L, S, M]
 
     def memory_to_subtable_index(self, i: int) -> int:
         return i // self.C
@@ -209,8 +209,8 @@ class SurgeMemoryChecking(MemoryCheckingProver):
                            for i in range(pre.num_memories))
         g = fd.scalar_to_device(spec, gamma.v)
         t = fd.scalar_to_device(spec, tau.v)
-        identity = fd.to_mont_device(
-            spec, jnp.asarray(fd.pack_u64(np.arange(pre.M, dtype=np.uint64))))
+        identity = fd.u64_to_mont_device(spec,
+                                         np.arange(pre.M, dtype=np.uint64))
         rw = _surge_rw_leaves(spec, mem_to_dim, polynomials.dim,
                               polynomials.read_cts, polynomials.E_polys, g, t)
         inf = _surge_if_leaves(spec, mem_to_dim, mem_to_sub,
@@ -250,10 +250,10 @@ def generate_witness(pre: SurgePreprocessing, x: np.ndarray, y: np.ndarray
 
     spec = pre.spec
     polys = SurgePolynomials(
-        dim=fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(indices))),
-        read_cts=fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(read_cts))),
-        final_cts=fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(final_cts))),
-        E_polys=fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(E_host))),
+        dim=fd.u64_to_mont_device(spec, indices),
+        read_cts=fd.u64_to_mont_device(spec, read_cts),
+        final_cts=fd.u64_to_mont_device(spec, final_cts),
+        E_polys=fd.u64_to_mont_device(spec, E_host),
     )
     return polys, indices
 

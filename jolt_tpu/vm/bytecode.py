@@ -102,8 +102,7 @@ class BytecodePreprocessing:
              [r.rs2 for r in bytecode], [r.imm for r in bytecode]],
             dtype=np.uint64)
         self.v_init_final_host = vals  # [6, K]
-        self.v_init_final = fd.to_mont_device(
-            self.spec, jnp.asarray(fd.pack_u64(vals)))
+        self.v_init_final = fd.u64_to_mont_device(self.spec, vals)
 
 
 @dataclass
@@ -150,7 +149,7 @@ def generate_witness(pre: BytecodePreprocessing,
 
     t_read, t_final = cumcount(a, pre.code_size)
 
-    to_dev = lambda arr: fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(arr)))
+    to_dev = lambda arr: fd.u64_to_mont_device(spec, arr)
     return BytecodePolynomials(
         a_read_write=to_dev(a.astype(np.uint64)),
         v_read_write=to_dev(v),
@@ -213,9 +212,8 @@ class BytecodeMemoryChecking(MemoryCheckingProver):
         rw = _bytecode_rw_leaves(spec, polynomials.a_read_write,
                                  polynomials.v_read_write, polynomials.t_read,
                                  gp, tau_dev)
-        identity = fd.to_mont_device(
-            spec, jnp.asarray(fd.pack_u64(
-                np.arange(self.pre.code_size, dtype=np.uint64))))
+        identity = fd.u64_to_mont_device(
+            spec, np.arange(self.pre.code_size, dtype=np.uint64))
         inf = _bytecode_if_leaves(spec, self.pre.v_init_final,
                                   polynomials.t_final, identity, gp, tau_dev)
         return rw, inf

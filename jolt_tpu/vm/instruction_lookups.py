@@ -88,8 +88,8 @@ class InstructionLookupsPreprocessing:
 
         self.subtable_entries = np.stack(
             [s.materialize_entries(M) for s in self.subtables])  # [S, M]
-        self.subtable_dev = fd.to_mont_device(
-            self.spec, jnp.asarray(fd.pack_u64(self.subtable_entries)))
+        self.subtable_dev = fd.u64_to_mont_device(self.spec,
+                                                   self.subtable_entries)
 
         self.max_g_degree = max(cls().g_poly_degree(C)
                                 for cls in self.instruction_classes)
@@ -175,7 +175,7 @@ def generate_witness(pre: InstructionLookupsPreprocessing,
             final_cts[mi] = fc
             E_host[mi][active] = pre.subtable_entries[s][addrs]
 
-    to_dev = lambda arr: fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(arr)))
+    to_dev = lambda arr: fd.u64_to_mont_device(spec, arr)
     return InstructionLookupPolynomials(
         dim=to_dev(dim_all),
         read_cts=to_dev(read_cts),
@@ -542,8 +542,7 @@ def _prove_memory_checking(pre, polys, transcript: Transcript, mesh=None
     t = fd.scalar_to_device(spec, tau.v)
     rw_leaves = _il_rw_leaves(spec, tuple(pre.memory_to_dimension_index),
                               polys.dim, polys.read_cts, polys.E_polys, g, t)
-    identity = fd.to_mont_device(
-        spec, jnp.asarray(fd.pack_u64(np.arange(pre.M, dtype=np.uint64))))
+    identity = fd.u64_to_mont_device(spec, np.arange(pre.M, dtype=np.uint64))
     if_leaves = _il_if_leaves(
         spec, tuple(tuple(v) for v in pre.subtable_to_memory_indices),
         pre.num_memories, pre.subtable_dev, polys.final_cts, identity, g, t)

@@ -207,8 +207,7 @@ class JoltVM:
                                                     log_M // 2)
             chunks_y[:, active] = chunk_operand_vec(ys[active], self.C,
                                                     log_M // 2)
-        to_dev = lambda arr: fd.to_mont_device(
-            spec, jnp.asarray(fd.pack_u64(arr)))
+        to_dev = lambda arr: fd.u64_to_mont_device(spec, arr)
         r1cs_polys = {"chunks_x": to_dev(chunks_x),
                       "chunks_y": to_dev(chunks_y),
                       "circuit_flags": to_dev(cflags)}

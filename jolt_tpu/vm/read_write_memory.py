@@ -179,7 +179,7 @@ def generate_witness(pre: ReadWriteMemoryPreprocessing, program_io: JoltDevice,
             ram_op(RAM_3, 2)
             ram_op(RAM_4, 3)
 
-    to_dev = lambda arr: fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(arr)))
+    to_dev = lambda arr: fd.u64_to_mont_device(spec, arr)
     return ReadWriteMemoryPolynomials(
         a_ram=to_dev(a_ram), v_read=to_dev(v_read),
         v_write_rd=to_dev(v_write_rd), v_write_ram=to_dev(v_write_ram),
@@ -276,8 +276,7 @@ class ReadWriteMemoryProof:
 
 
 def _identity_dev(spec, n):
-    return fd.to_mont_device(
-        spec, jnp.asarray(fd.pack_u64(np.arange(n, dtype=np.uint64))))
+    return fd.u64_to_mont_device(spec, np.arange(n, dtype=np.uint64))
 
 
 def prove_memory_checking(polys: ReadWriteMemoryPolynomials,
@@ -377,7 +376,7 @@ def prove_outputs(polys: ReadWriteMemoryPolynomials, program_io: JoltDevice,
                                          layout.ram_witness_offset)] = \
         int(program_io.panic)
 
-    to_dev = lambda arr: fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(arr)))
+    to_dev = lambda arr: fd.u64_to_mont_device(spec, arr)
     sc_polys = (eq, to_dev(io_witness_range), polys.v_final, to_dev(v_io))
     if mesh is not None:
         from ..parallel.sharding import shard_sumcheck_polys

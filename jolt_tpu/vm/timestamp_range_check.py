@@ -68,7 +68,7 @@ def generate_witness(read_timestamps: np.ndarray,
         gmr = (steps - rt).astype(np.int64)
         rc_gmr[i], fc_gmr[i] = cumcount(gmr, T)
 
-    to_dev = lambda arr: fd.to_mont_device(spec, jnp.asarray(fd.pack_u64(arr)))
+    to_dev = lambda arr: fd.u64_to_mont_device(spec, arr)
     return TimestampRangeCheckPolynomials(
         read_cts_read_timestamp=to_dev(rc_rt),
         read_cts_global_minus_read=to_dev(rc_gmr),
@@ -141,8 +141,7 @@ def prove_timestamp_validity(ts_polys: TimestampRangeCheckPolynomials,
     transcript.append_protocol_name(PROTOCOL_NAME)
 
     T = ts_polys.read_cts_read_timestamp.shape[-1]
-    identity = fd.to_mont_device(
-        spec, jnp.asarray(fd.pack_u64(np.arange(T, dtype=np.uint64))))
+    identity = fd.u64_to_mont_device(spec, np.arange(T, dtype=np.uint64))
     leaves = _ts_leaves(spec, ts_polys.read_cts_read_timestamp,
                         ts_polys.read_cts_global_minus_read,
                         ts_polys.final_cts_read_timestamp,
